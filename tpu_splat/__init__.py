@@ -1,0 +1,20 @@
+"""tpu_splat — TPU-native differentiable Gaussian splatting with deferred reflections.
+
+A from-scratch JAX/Pallas/pjit framework with the capabilities of the reference
+CUDA/torch codebase (gssales/gaussian-splatting-reflection): 2DGS surfel
+rasterization with reflection strengths, a learned cubemap environment map with
+deferred reflection shading, adaptive density control, and the full
+train/render/eval toolchain — redesigned for TPU:
+
+- No atomics, no dynamic allocation: static-capacity instance buffers, stable
+  64-bit-equivalent lexicographic sort (`jax.lax.sort`), and deterministic
+  segment reductions replace the CUDA tile runtime
+  (reference: submodules/diff-surfel-rasterization/cuda_rasterizer/rasterizer_impl.cu).
+- Alpha compositing is formulated as chunked prefix ops over a
+  [tiles, K] instance matrix, fully vectorized on the VPU, differentiable
+  end-to-end (reference: forward.cu renderCUDA / backward.cu).
+- Multi-chip: tile-grid sharding via shard_map over a jax.sharding.Mesh with
+  psum'd parameter gradients (the reference is strictly single-GPU).
+"""
+
+__version__ = "0.1.0"

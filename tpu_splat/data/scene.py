@@ -1,0 +1,115 @@
+"""Scene: cameras + point cloud + persistence (reference scene/__init__.py).
+
+Loads a dataset dir (COLMAP or Blender), applies the resolution policy,
+materializes Camera objects + ground-truth images (numpy, channels-last),
+computes cameras_extent (NeRF++ radius) and cameras_mean (the reference's
+`translate` = -mean center, scene/__init__.py:92-93 — kept verbatim for
+behavioral parity since densify pruning consumes it), and saves model
+snapshots under point_cloud/iteration_N/point_cloud.ply.
+"""
+from __future__ import annotations
+
+import json
+import os
+import random
+
+import numpy as np
+
+from tpu_splat.core.graphics import Camera
+from tpu_splat.data.readers import (
+    SceneInfo,
+    load_scene_info,
+    load_image,
+    resolution_policy,
+)
+
+
+class LoadedCamera:
+    """A Camera plus its ground-truth image + optional alpha mask."""
+
+    def __init__(self, camera: Camera, image: np.ndarray, alpha, name: str, uid: int):
+        self.camera = camera
+        self.image = image  # [H,W,3] float32
+        self.alpha = alpha  # [H,W,1] or None
+        self.image_name = name
+        self.uid = uid
+
+
+class Scene:
+    def __init__(
+        self,
+        source_path: str,
+        model_path: str = "",
+        images: str = "images",
+        resolution: int = -1,
+        eval_split: bool = False,
+        shuffle: bool = True,
+        num_points: int = 100_000,
+        load_limit: int | None = None,
+        seed: int = 0,
+    ):
+        self.model_path = model_path
+        info = load_scene_info(source_path, images, eval_split, num_points)
+        self.info = info
+        self.cameras_extent = info.radius
+        self.cameras_mean = info.translate  # sic — see module docstring
+
+        if shuffle:
+            rng = random.Random(seed)
+            rng.shuffle(info.train_cameras)
+            rng.shuffle(info.test_cameras)
+
+        self.train_cameras = [
+            self._load(c) for c in info.train_cameras[:load_limit]
+        ]
+        self.test_cameras = [self._load(c) for c in info.test_cameras[:load_limit]]
+        self._resolution = resolution
+
+    def _load(self, ci) -> LoadedCamera:
+        W, H = resolution_policy(ci.width, ci.height, getattr(self, "_resolution", -1))
+        img, alpha = load_image(ci.image_path, (W, H), ci.alpha_path, ci.rgba)
+        K = None
+        if ci.K is not None:
+            K = ci.K.copy()
+            K[:2] *= W / ci.width  # account for resize (+ any pre-downscaled files)
+        cam = Camera.create(
+            R=ci.R, T=ci.T, fovx=ci.fovx, fovy=ci.fovy,
+            height=img.shape[0], width=img.shape[1], K=K,
+        )
+        return LoadedCamera(cam, img, alpha, ci.image_name, ci.uid)
+
+    @property
+    def point_cloud(self):
+        return self.info.point_cloud
+
+    def save(self, state, iteration: int):
+        from tpu_splat.model.io import save_ply
+
+        out = os.path.join(
+            self.model_path, "point_cloud", f"iteration_{iteration}", "point_cloud.ply"
+        )
+        save_ply(state, out)
+        return out
+
+    def save_cameras_json(self):
+        """reference scene/__init__.py:74-86 cameras.json persistence."""
+        entries = []
+        for i, lc in enumerate(self.train_cameras):
+            c = lc.camera
+            R = np.asarray(c.world_view[:3, :3]).T
+            pos = np.asarray(c.camera_center)
+            entries.append(
+                {
+                    "id": i,
+                    "img_name": lc.image_name,
+                    "width": c.width,
+                    "height": c.height,
+                    "position": pos.tolist(),
+                    "rotation": [r.tolist() for r in R],
+                    "fy": float(c.K[1, 1]),
+                    "fx": float(c.K[0, 0]),
+                }
+            )
+        os.makedirs(self.model_path, exist_ok=True)
+        with open(os.path.join(self.model_path, "cameras.json"), "w") as f:
+            json.dump(entries, f)

@@ -1,0 +1,272 @@
+"""Learned cubemap environment encoder, pure-JAX (gather-based; no atomics).
+
+Capability parity with the reference CUDA module
+(submodules/cubemapencoder/src/cubemapencoder.cu + cubemap_encoder.py):
+- dominant-axis face selection with the exact sign/flip table (:147-187),
+- seamless bilinear filtering: off-face taps remapped to the adjacent face via
+  the LEFT_TOP_AS_ORIGIN EdgeTable (:66-145), corner case averaging 3 texels
+  (:235-240,326-331),
+- zero-direction inputs return a learned fail value with gradient (:311-316),
+- direction gradients (grad_inputs) flow via autodiff of the UV math — the
+  piecewise-smooth derivative matches Compute_Cubemap_UV_Backward (:265-292).
+
+The backward is pure JAX autodiff: texel grads become deterministic
+scatter-adds (the CUDA version needs atomicAdd), direction/fail grads come for
+free. Texture layout [6, C, L, L] (face, channel, y, x), matching the
+reference checkpoint format so .map files interop.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class CubemapParams(NamedTuple):
+    texture: jnp.ndarray  # [6, C, L, L]
+    fail_value: jnp.ndarray  # [C]
+
+    @property
+    def resolution(self) -> int:
+        return self.texture.shape[-1]
+
+    @property
+    def channels(self) -> int:
+        return self.texture.shape[1]
+
+
+def init_cubemap(key, channels: int = 3, resolution: int = 128) -> CubemapParams:
+    """U(-0.5, 0.5) texture init, zero fail value (cubemap_encoder.py:93-96)."""
+    tex = jax.random.uniform(
+        key, (6, channels, resolution, resolution), minval=-0.5, maxval=0.5
+    )
+    return CubemapParams(texture=tex, fail_value=jnp.zeros((channels,)))
+
+
+# ---------------------------------------------------------------------------
+# EdgeTable (LEFT_TOP_AS_ORIGIN, cubemapencoder.cu:66-106) encoded as affine
+# maps: out = ax*x + ay*y + c*(L-1), per (face, flag in {1,2,4,8}).
+# flag: 1 = u < 0.5 (left), 2 = u >= L-0.5 (right), 4 = v < 0.5, 8 = v >= L-0.5
+_EDGE_FACE = np.array(
+    [
+        [4, 5, 3, 2],
+        [5, 4, 3, 2],
+        [1, 0, 4, 5],
+        [1, 0, 4, 5],
+        [1, 0, 3, 2],
+        [0, 1, 3, 2],
+    ],
+    dtype=np.int32,
+)
+# (ax, ay, c) for output x
+_EDGE_X = np.array(
+    [
+        [(0, 0, 1), (0, 0, 0), (0, 0, 1), (0, 0, 1)],
+        [(0, 0, 1), (0, 0, 0), (0, 0, 0), (0, 0, 0)],
+        [(0, -1, 1), (0, 1, 0), (1, 0, 0), (-1, 0, 1)],
+        [(0, -1, 1), (0, 1, 0), (1, 0, 0), (-1, 0, 1)],
+        [(0, 0, 1), (0, 0, 0), (1, 0, 0), (1, 0, 0)],
+        [(0, 0, 1), (0, 0, 0), (-1, 0, 1), (-1, 0, 1)],
+    ],
+    dtype=np.int32,
+)
+# (ax, ay, c) for output y
+_EDGE_Y = np.array(
+    [
+        [(0, 1, 0), (0, 1, 0), (1, 0, 0), (1, 0, 0)],
+        [(0, 1, 0), (0, 1, 0), (-1, 0, 1), (-1, 0, 1)],
+        [(0, 0, 1), (0, 0, 1), (0, 0, 1), (0, 0, 1)],
+        [(0, 0, 0), (0, 0, 0), (0, 0, 0), (0, 0, 0)],
+        [(0, 1, 0), (0, 1, 0), (0, 0, 0), (0, 0, 0)],
+        [(0, 1, 0), (0, 1, 0), (0, 0, 1), (0, 0, 1)],
+    ],
+    dtype=np.int32,
+)
+
+
+def _edge_remap(face, x, y, flag_idx, L):
+    """Vectorized EdgeTable: (face,x,y)[B] + flag index [B] -> remapped."""
+    f = jnp.asarray(_EDGE_FACE)[face, flag_idx]
+    cx = jnp.asarray(_EDGE_X)[face, flag_idx]  # [B,3]
+    cy = jnp.asarray(_EDGE_Y)[face, flag_idx]
+    nx = cx[..., 0] * x + cx[..., 1] * y + cx[..., 2] * (L - 1)
+    ny = cy[..., 0] * x + cy[..., 1] * y + cy[..., 2] * (L - 1)
+    return f, nx, ny
+
+
+def _face_uv(dirs: jnp.ndarray):
+    """Dominant-axis face selection + per-face UV (cubemapencoder.cu:147-187).
+    dirs: [B,3] -> (face [B] int32, u [B], v [B]) with u,v in [-1,1]."""
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    ax_, ay_, az_ = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    dim1 = jnp.where(ay_ > ax_, 1, 0)
+    maxv1 = jnp.maximum(ax_, ay_)
+    dim = jnp.where(az_ > maxv1, 2, dim1)
+
+    face = jnp.where(
+        dim == 0,
+        jnp.where(x >= 0, 0, 1),
+        jnp.where(dim == 1, jnp.where(y >= 0, 2, 3), jnp.where(z >= 0, 4, 5)),
+    ).astype(jnp.int32)
+
+    # Single division by the dominant component (grad-safe: no inf from the
+    # non-dominant branches). Per-face numerators fold in the sign flips:
+    #   f0: u=-z/x v=-y/x | f1: u=-z/x v= y/x | f2: u= x/y v= z/y
+    #   f3: u=-x/y v=-z/y | f4: u= x/z v=-y/z | f5: u= x/z v= y/z
+    denom = jnp.where(dim == 0, x, jnp.where(dim == 1, y, z))
+    denom = jnp.where(denom == 0.0, 1.0, denom)  # only the fail path hits 0
+    u_num = jnp.where(
+        dim == 0, -z, jnp.where(face == 3, -x, x)
+    )
+    v_num = jnp.where(
+        face == 0,
+        -y,
+        jnp.where(
+            face == 1,
+            y,
+            jnp.where(
+                face == 2, z, jnp.where(face == 3, -z, jnp.where(face == 4, -y, y))
+            ),
+        ),
+    )
+    u = u_num / denom
+    v = v_num / denom
+    return face, u, v
+
+
+def _tex_gather(texture: jnp.ndarray, face, x, y):
+    """texture [6,C,L,L]; (face,x,y) [B] -> [B,C]."""
+    return texture[face, :, y, x]
+
+
+def sample_cubemap(
+    params: CubemapParams, dirs: jnp.ndarray, interp: str = "seamless"
+) -> jnp.ndarray:
+    """dirs [..., 3] -> colors [..., C]. Differentiable in texture, fail value
+    AND direction (the path that drives normals in deferred reflection)."""
+    shape = dirs.shape[:-1]
+    dirs = dirs.reshape(-1, 3)
+    L = params.resolution
+
+    fail = jnp.all(dirs == 0.0, axis=-1)  # [B]
+    face, u, v = _face_uv(dirs)
+    v = -v  # LEFT_TOP_AS_ORIGIN (cubemapencoder.cu:202-204)
+    su = (u * 0.5 + 0.5) * L
+    sv = (v * 0.5 + 0.5) * L
+
+    if interp == "nearest":
+        ix = jnp.clip(sv.astype(jnp.int32), 0, L - 1)
+        # note: reference casts with int() toward zero; su>=0 here after clamp
+        ux = jnp.clip(su.astype(jnp.int32), 0, L - 1)
+        out = _tex_gather(params.texture, face, ux, ix)
+    else:
+        x0f = jnp.floor(su - 0.5)
+        y0f = jnp.floor(sv - 0.5)
+        kx = su - x0f - 0.5
+        ky = sv - y0f - 0.5
+        x0 = jnp.clip(x0f.astype(jnp.int32), 0, L - 1)
+        x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, L - 1)
+        y0 = jnp.clip(y0f.astype(jnp.int32), 0, L - 1)
+        y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, L - 1)
+
+        if interp == "bilinear":
+            v00 = _tex_gather(params.texture, face, x0, y0)
+            v01 = _tex_gather(params.texture, face, x1, y0)
+            v10 = _tex_gather(params.texture, face, x0, y1)
+            v11 = _tex_gather(params.texture, face, x1, y1)
+        elif interp == "seamless":
+            on_left = su < 0.5
+            on_right = su >= L - 0.5
+            on_top = sv < 0.5
+            on_bot = sv >= L - 0.5
+            u_edge = on_left | on_right
+            v_edge = on_top | on_bot
+            is_vertex = u_edge & v_edge
+            # weight flip at low edges (cubemapencoder.cu:221-233)
+            kx = jnp.where(on_left, 0.5 - su, kx)
+            ky = jnp.where(on_top, 0.5 - sv, ky)
+            uflag = jnp.where(on_left, 0, 1)  # flag 1 vs 2 -> table col 0/1
+            vflag = jnp.where(on_top, 2, 3)  # flag 4 vs 8 -> table col 2/3
+
+            fu, xu, yu = _edge_remap(face, x0, y0, uflag, L)  # u-side neighbor @ y0
+            fu1, xu1, yu1 = _edge_remap(face, x0, y1, uflag, L)  # @ y1
+            fv, xv, yv = _edge_remap(face, x0, y0, vflag, L)  # v-side neighbor @ x0
+            fv1, xv1, yv1 = _edge_remap(face, x1, y0, vflag, L)  # @ x1
+
+            def pick(cond, a, b):
+                return tuple(jnp.where(cond, ai, bi) for ai, bi in zip(a, b))
+
+            # tap layout (cubemapencoder.cu:235-258):
+            #   vertex: t00=(f,x0,y0) t01=edge_u(t00) t10=edge_v(t00) t11=avg
+            #   u-edge: t00=(f,x0,y0) t01=edge_u@y0 t10=(f,x0,y1) t11=edge_u@y1
+            #   v-edge: t00=(f,x0,y0) t01=(f,x1,y0) t10=edge_v@x0 t11=edge_v@x1
+            #   interior: standard 2x2
+            t00 = (face, x0, y0)
+            t01 = pick(
+                is_vertex | (u_edge & ~v_edge),
+                (fu, xu, yu),
+                (face, x1, y0),
+            )
+            t10 = pick(
+                is_vertex,
+                (fv, xv, yv),
+                pick(u_edge, (face, x0, y1), pick(v_edge, (fv, xv, yv), (face, x0, y1))),
+            )
+            t11 = pick(
+                u_edge & ~v_edge,
+                (fu1, xu1, yu1),
+                pick(v_edge & ~u_edge, (fv1, xv1, yv1), (face, x1, y1)),
+            )
+
+            v00 = _tex_gather(params.texture, *t00)
+            v01 = _tex_gather(params.texture, *t01)
+            v10 = _tex_gather(params.texture, *t10)
+            v11_tex = _tex_gather(params.texture, *t11)
+            v11 = jnp.where(
+                is_vertex[:, None], (v00 + v01 + v10) / 3.0, v11_tex
+            )
+        else:
+            raise ValueError(f"unknown interp {interp!r}")
+
+        kx = kx[:, None]
+        ky = ky[:, None]
+        out = (1 - ky) * ((1 - kx) * v00 + kx * v01) + ky * ((1 - kx) * v10 + kx * v11)
+
+    out = jnp.where(fail[:, None], params.fail_value[None, :], out)
+    return out.reshape(*shape, params.channels)
+
+
+def resize_cubemap(params: CubemapParams, new_resolution: int) -> CubemapParams:
+    """Bicubic resize (reference resize(), cubemap_encoder.py:102-105;
+    used by double_env_map, scene/gaussian_model.py:375-393)."""
+    tex = jax.image.resize(
+        params.texture,
+        (6, params.channels, new_resolution, new_resolution),
+        method="cubic",
+    )
+    return CubemapParams(texture=tex, fail_value=params.fail_value)
+
+
+def sharpen_cubemap(
+    params: CubemapParams, activation=jax.nn.sigmoid, inverse_activation=None, factor: float = 2.0
+) -> CubemapParams:
+    """Sharpen in activated space (reference filter(), cubemap_encoder.py:107-113:
+    torchvision adjust_sharpness with border pixels preserved, then clamp to
+    [1e-3, 1-1e-3] before inverting the activation)."""
+    if inverse_activation is None:
+        inverse_activation = lambda x: jnp.log(x / (1.0 - x))
+    img = activation(params.texture)  # [6,C,L,L]
+    kernel = jnp.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
+    k4 = kernel[None, None]  # [1,1,3,3]
+    f, c, l, _ = img.shape
+    flat = img.reshape(f * c, 1, l, l)
+    blurred = jax.lax.conv_general_dilated(
+        flat, k4, window_strides=(1, 1), padding="SAME"
+    ).reshape(f, c, l, l)
+    sharp = jnp.clip(factor * img + (1 - factor) * blurred, 0.0, 1.0)
+    # torchvision keeps the 1px border unchanged
+    out = img.at[..., 1:-1, 1:-1].set(sharp[..., 1:-1, 1:-1])
+    out = jnp.clip(out, 1e-3, 1 - 1e-3)
+    return CubemapParams(texture=inverse_activation(out), fail_value=params.fail_value)

@@ -1,0 +1,116 @@
+"""Differentiable TPU surfel rasterizer: preprocess -> bin -> blend.
+
+Top-level equivalent of the reference GaussianRasterizer
+(diff_surfel_rasterization/__init__.py:184-239 + rasterize_points.cu): a pure
+function of Gaussian attributes and camera, returning image-space maps and
+per-Gaussian stats. Fully jit-able, static shapes, differentiable via JAX
+autodiff (no hand-written backward needed; the chunked blend is rematerialized).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from tpu_splat.core.graphics import Camera
+from tpu_splat.raster.config import RasterConfig, TILE, tile_grid
+from tpu_splat.raster.preprocess import preprocess, Preprocessed
+from tpu_splat.raster.binning import bin_gaussians, Binned
+from tpu_splat.raster.blend import blend, BlendOutput
+
+# allmap channel offsets (reference auxiliary.h:22-28)
+DEPTH_CH = 0
+ALPHA_CH = 1
+NORMAL_CH = slice(2, 5)
+MIDDEPTH_CH = 5
+DISTORTION_CH = 6
+MASK_CH = 7
+
+
+class RasterOutput(NamedTuple):
+    color: jnp.ndarray  # [H,W,3] base color composited over bg
+    others: jnp.ndarray  # [H,W,8] allmap (channel offsets above)
+    refl_map: jnp.ndarray  # [H,W]
+    radii: jnp.ndarray  # [P] int32 screen radii (0 = culled)
+    gaussian_weights: jnp.ndarray  # [P] max blend weight
+    final_T: jnp.ndarray  # [H,W]
+    n_contrib: jnp.ndarray  # [H,W] int32
+    num_instances: jnp.ndarray  # [] overflow diagnostic
+    max_area: jnp.ndarray  # [] overflow diagnostic
+    tile_counts: jnp.ndarray  # [T] overflow diagnostic
+
+
+def rasterize(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    rotations: jnp.ndarray,
+    opacity: jnp.ndarray,  # [P] post-activation
+    refl: jnp.ndarray,  # [P] post-activation
+    camera: Camera,
+    bg: jnp.ndarray,
+    cfg: RasterConfig,
+    sh: jnp.ndarray | None = None,
+    sh_degree: int = 0,
+    colors: jnp.ndarray | None = None,
+    scope_mask: jnp.ndarray | None = None,
+    scale_modifier: float = 1.0,
+    screen_offset: jnp.ndarray | None = None,
+    hom_precomp: jnp.ndarray | None = None,
+    alive: jnp.ndarray | None = None,
+) -> RasterOutput:
+    H, W = camera.height, camera.width
+    P = means3d.shape[0]
+    if scope_mask is None:
+        scope_mask = jnp.ones((P,), dtype=bool)
+
+    prep = preprocess(
+        means3d,
+        scales,
+        rotations,
+        camera.world_view,
+        camera.full_proj,
+        camera.camera_center,
+        H,
+        W,
+        sh=sh,
+        sh_degree=sh_degree,
+        colors=colors,
+        scale_modifier=scale_modifier,
+        screen_offset=screen_offset,
+        hom_precomp=hom_precomp,
+    )
+    if alive is not None:
+        valid = prep.valid & alive
+        prep = prep._replace(
+            valid=valid,
+            radius=jnp.where(valid, prep.radius, 0),
+            tiles_touched=jnp.where(valid, prep.tiles_touched, 0),
+        )
+    binned = bin_gaussians(prep, H, W, cfg)
+    out = blend(
+        binned.tile_gid,
+        binned.tile_mask,
+        prep.hom,
+        prep.xy,
+        opacity,
+        prep.normal_view,
+        prep.color,
+        refl,
+        scope_mask,
+        bg,
+        H,
+        W,
+        cfg,
+    )
+    return RasterOutput(
+        color=out.color,
+        others=out.others,
+        refl_map=out.refl_map,
+        radii=prep.radius,
+        gaussian_weights=out.gaussian_weights,
+        final_T=out.final_T,
+        n_contrib=out.n_contrib,
+        num_instances=binned.num_instances,
+        max_area=binned.max_area,
+        tile_counts=binned.tile_counts,
+    )

@@ -1,0 +1,89 @@
+"""Tile binning: instance expansion + lexicographic depth sort + tile ranges.
+
+Replaces the CUDA tile scheduler (rasterizer_impl.cu:70-138,282-313: CUB
+prefix-sum -> duplicateWithKeys -> 64-bit radix sort -> identifyTileRanges)
+with static-shape XLA: a scatter into a fixed-capacity instance buffer and a
+stable multi-key `lax.sort` on (tile, depth). Positive-float radix order ==
+numeric order, and both sorts are stable, so the resulting per-tile
+front-to-back order matches the reference exactly (ties broken by emission
+order = Gaussian index).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_splat.raster.config import RasterConfig, tile_grid
+from tpu_splat.raster.preprocess import Preprocessed
+
+
+class Binned(NamedTuple):
+    tile_gid: jnp.ndarray  # [T, K] per-tile depth-sorted Gaussian ids
+    tile_mask: jnp.ndarray  # [T, K] bool, True where a real instance exists
+    num_instances: jnp.ndarray  # [] int32 true instance count (overflow check)
+    max_area: jnp.ndarray  # [] int32 max tiles touched by one Gaussian
+    tile_counts: jnp.ndarray  # [T] int32 instances per tile (pre-truncation)
+
+
+def bin_gaussians(
+    prep: Preprocessed, height: int, width: int, cfg: RasterConfig
+) -> Binned:
+    tiles_y, tiles_x = tile_grid(height, width)
+    n_tiles = tiles_y * tiles_x
+    P = prep.depth.shape[0]
+    Kg = cfg.max_tiles_per_gaussian
+    cap = cfg.max_instances
+
+    area = prep.tiles_touched  # [P] int32, 0 for invalid
+    offsets = jnp.cumsum(area) - area  # exclusive prefix (duplicateWithKeys offsets)
+
+    j = jnp.arange(Kg, dtype=jnp.int32)[None, :]  # [1,Kg]
+    rect_w = (prep.rect_max[:, 0] - prep.rect_min[:, 0])[:, None]
+    emit = (j < area[:, None]) & (j < Kg)
+    safe_w = jnp.maximum(rect_w, 1)
+    tx = prep.rect_min[:, 0:1] + j % safe_w
+    ty = prep.rect_min[:, 1:2] + j // safe_w
+    tile = ty * tiles_x + tx  # [P,Kg]
+
+    pos = offsets[:, None] + j  # [P,Kg] target slot in instance buffer
+    # Invalid / overflowing entries go to a dump slot (cap) that is sliced off.
+    pos = jnp.where(emit & (pos < cap), pos, cap)
+
+    gid = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[:, None], (P, Kg))
+    inst_tile = (
+        jnp.full((cap + 1,), n_tiles, dtype=jnp.int32).at[pos.ravel()].set(tile.ravel())
+    )[:cap]
+    inst_depth = (
+        jnp.zeros((cap + 1,), dtype=jnp.float32)
+        .at[pos.ravel()]
+        .set(jnp.broadcast_to(prep.depth[:, None], (P, Kg)).ravel())
+    )[:cap]
+    inst_gid = (
+        jnp.zeros((cap + 1,), dtype=jnp.int32).at[pos.ravel()].set(gid.ravel())
+    )[:cap]
+
+    # Stable lexicographic sort: (tile asc, depth asc); sentinel tile==n_tiles last.
+    sorted_tile, _, sorted_gid = jax.lax.sort(
+        (inst_tile, inst_depth, inst_gid), num_keys=2, is_stable=True
+    )
+
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+    counts = ends - starts
+
+    k = jnp.arange(cfg.tile_depth, dtype=jnp.int32)[None, :]
+    slots = jnp.clip(starts[:, None] + k, 0, cap - 1)
+    tile_gid = sorted_gid[slots]  # [T, K]
+    tile_mask = k < counts[:, None]
+
+    num_instances = jnp.sum(area)
+    return Binned(
+        tile_gid=tile_gid,
+        tile_mask=tile_mask,
+        num_instances=num_instances,
+        max_area=jnp.max(area),
+        tile_counts=counts,
+    )

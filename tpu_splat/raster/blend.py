@@ -1,0 +1,279 @@
+"""Tile blending: alpha compositing as chunked prefix ops (TPU-native).
+
+This replaces renderCUDA (diff-surfel-rasterization/cuda_rasterizer/forward.cu:
+258-489): instead of one CUDA thread per pixel walking a shared-memory batch
+sequentially, we process the whole tile grid at once. The per-tile depth-sorted
+instance list is consumed in chunks; within a chunk the sequential "over"
+recurrence is rewritten as exclusive cumulative products of (1 - alpha) along
+the chunk axis, vectorized across [tiles, chunk, 256 pixels] on the VPU. The
+early-termination (T < 1e-4), skip (alpha < 1/255), median-depth and
+depth-distortion semantics of the reference are reproduced exactly with
+cumulative masks — deterministic, no atomics (the reference needs
+atomicExch/atomicAdd; here per-Gaussian max blend weight is a scatter-max).
+
+Differentiable end-to-end: the scan body is wrapped in jax.checkpoint so
+reverse-mode autodiff recomputes chunk internals instead of storing them
+(the JAX analogue of backward.cu's back-to-front recomputation).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_splat.raster.config import (
+    TILE,
+    TILE_PIX,
+    NEAR_N,
+    FAR_N,
+    ALPHA_MIN,
+    ALPHA_MAX,
+    T_EPS,
+    FILTER_INV_SQUARE,
+    RasterConfig,
+    tile_grid,
+)
+
+
+class BlendCarry(NamedTuple):
+    T: jnp.ndarray  # [T, L] transmittance
+    done: jnp.ndarray  # [T, L] bool, terminated
+    color: jnp.ndarray  # [T, L, 3]
+    normal: jnp.ndarray  # [T, L, 3] view-space
+    depth: jnp.ndarray  # [T, L] expected depth accumulator
+    refl: jnp.ndarray  # [T, L]
+    dist: jnp.ndarray  # [T, L] distortion accumulator
+    m1: jnp.ndarray  # [T, L]
+    m2: jnp.ndarray  # [T, L]
+    scope: jnp.ndarray  # [T, L] env-scope mask hit
+    median_depth: jnp.ndarray  # [T, L]
+    n_contrib: jnp.ndarray  # [T, L] int32 (1-based last contributor)
+    median_idx: jnp.ndarray  # [T, L] int32 (1-based median contributor)
+    gw: jnp.ndarray  # [P] max blend weight per Gaussian
+
+
+class BlendOutput(NamedTuple):
+    """All image-space outputs, channels-last [H, W, C]."""
+
+    color: jnp.ndarray  # [H,W,3] composited with background
+    others: jnp.ndarray  # [H,W,8] DEPTH,ALPHA,NORMALx3,MIDDEPTH,DISTORTION,MASK
+    refl_map: jnp.ndarray  # [H,W]
+    final_T: jnp.ndarray  # [H,W]
+    n_contrib: jnp.ndarray  # [H,W] int32
+    gaussian_weights: jnp.ndarray  # [P] max blend weight (stop-gradient)
+
+
+def _tiles_to_image(x: jnp.ndarray, tiles_y: int, tiles_x: int, H: int, W: int):
+    """[T, 256, ...] tile-major -> [H, W, ...] image."""
+    trailing = x.shape[2:]
+    x = x.reshape(tiles_y, tiles_x, TILE, TILE, *trailing)
+    x = jnp.swapaxes(x, 1, 2)
+    x = x.reshape(tiles_y * TILE, tiles_x * TILE, *trailing)
+    return x[:H, :W]
+
+
+def _excl_cumprod(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    cp = jnp.cumprod(x, axis=axis)
+    one = jnp.ones_like(jax.lax.slice_in_dim(cp, 0, 1, axis=axis))
+    return jnp.concatenate(
+        [one, jax.lax.slice_in_dim(cp, 0, x.shape[axis] - 1, axis=axis)], axis=axis
+    )
+
+
+def _excl_cumsum(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    return jnp.cumsum(x, axis=axis) - x
+
+
+def blend(
+    tile_gid: jnp.ndarray,  # [T, K]
+    tile_mask: jnp.ndarray,  # [T, K]
+    hom: jnp.ndarray,  # [P,3,3]
+    xy: jnp.ndarray,  # [P,2]
+    opacity: jnp.ndarray,  # [P]
+    normal_view: jnp.ndarray,  # [P,3]
+    color: jnp.ndarray,  # [P,3]
+    refl: jnp.ndarray,  # [P]
+    scope_mask: jnp.ndarray,  # [P] bool
+    bg: jnp.ndarray,  # [3]
+    height: int,
+    width: int,
+    cfg: RasterConfig,
+) -> BlendOutput:
+    tiles_y, tiles_x = tile_grid(height, width)
+    n_tiles = tiles_y * tiles_x
+    P = opacity.shape[0]
+    C = cfg.chunk
+    S = cfg.n_chunks
+    L = TILE_PIX
+
+    # Per-tile pixel coordinates [T, 1, L]
+    t_idx = jnp.arange(n_tiles, dtype=jnp.int32)
+    org_x = (t_idx % tiles_x) * TILE
+    org_y = (t_idx // tiles_x) * TILE
+    lane = jnp.arange(L, dtype=jnp.int32)
+    pixx = (org_x[:, None] + lane[None, :] % TILE).astype(jnp.float32)[:, None, :]
+    pixy = (org_y[:, None] + lane[None, :] // TILE).astype(jnp.float32)[:, None, :]
+
+    ids_s = jnp.swapaxes(tile_gid.reshape(n_tiles, S, C), 0, 1)  # [S,T,C]
+    mask_s = jnp.swapaxes(tile_mask.reshape(n_tiles, S, C), 0, 1)  # [S,T,C]
+    kbase_s = jnp.arange(S, dtype=jnp.int32) * C
+
+    def body(carry: BlendCarry, xs):
+        ids, vmask, kbase = xs  # [T,C], [T,C], []
+        h = hom[ids]  # [T,C,3,3]
+        Tu = h[..., 0, :]
+        Tv = h[..., 1, :]
+        Tw = h[..., 2, :]
+        g_xy = xy[ids]  # [T,C,2]
+        opa = opacity[ids]  # [T,C]
+        nrm = normal_view[ids]  # [T,C,3]
+        col = color[ids]  # [T,C,3]
+        rfl = refl[ids]  # [T,C]
+        scp = scope_mask[ids]  # [T,C]
+
+        # Ray-splat intersection (2DGS Eqs. 8-10; forward.cu:363-394)
+        def comp(v, i):
+            return v[..., i : i + 1]  # [T,C,1] broadcast against [T,1,L]
+
+        k0 = pixx * comp(Tw, 0) - comp(Tu, 0)
+        k1 = pixx * comp(Tw, 1) - comp(Tu, 1)
+        k2 = pixx * comp(Tw, 2) - comp(Tu, 2)
+        l0 = pixy * comp(Tw, 0) - comp(Tv, 0)
+        l1 = pixy * comp(Tw, 1) - comp(Tv, 1)
+        l2 = pixy * comp(Tw, 2) - comp(Tv, 2)
+        p0 = k1 * l2 - k2 * l1
+        p1 = k2 * l0 - k0 * l2
+        p2 = k0 * l1 - k1 * l0
+        unstable = jnp.abs(p2) < 1e-4
+        inv_p2 = 1.0 / jnp.where(unstable, 1.0, p2)
+        sx = jnp.where(unstable, 0.0, p0 * inv_p2)
+        sy = jnp.where(unstable, 0.0, p1 * inv_p2)
+        rho3d = jnp.where(unstable, 1e8, sx * sx + sy * sy)
+        dx = comp(g_xy, 0) - pixx
+        dy = comp(g_xy, 1) - pixy
+        rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
+        rho = jnp.minimum(rho3d, rho2d)
+        depth = sx * comp(Tw, 0) + sy * comp(Tw, 1) + comp(Tw, 2)
+
+        G = jnp.exp(-0.5 * rho)
+        alpha = jnp.minimum(ALPHA_MAX, opa[..., None] * G)  # [T,C,L]
+        accept = (
+            (depth >= NEAR_N)
+            & (alpha >= ALPHA_MIN)
+            & vmask[..., None]
+            & ~carry.done[:, None, :]
+        )
+        a_eff = jnp.where(accept, alpha, 0.0)
+
+        prefix = _excl_cumprod(1.0 - a_eff, axis=1)  # [T,C,L]
+        T_before = carry.T[:, None, :] * prefix
+        trigger = accept & (T_before * (1.0 - alpha) < T_EPS)
+        term_excl = _excl_cumsum(trigger.astype(jnp.int32), axis=1) > 0
+        contrib = accept & ~term_excl & ~trigger
+        w = jnp.where(contrib, alpha * T_before, 0.0)  # [T,C,L]
+
+        a_contrib = jnp.where(contrib, alpha, 0.0)
+        T_out = carry.T * jnp.prod(1.0 - a_contrib, axis=1)
+        done_out = carry.done | jnp.any(trigger, axis=1)
+
+        # Accumulators
+        color_out = carry.color + jnp.einsum("tcl,tck->tlk", w, col, precision=jax.lax.Precision.HIGHEST)
+        normal_out = carry.normal + jnp.einsum("tcl,tck->tlk", w, nrm, precision=jax.lax.Precision.HIGHEST)
+        depth_out = carry.depth + jnp.sum(depth * w, axis=1)
+        refl_out = carry.refl + jnp.sum(rfl[..., None] * w, axis=1)
+        scope_out = carry.scope | jnp.any(scp[..., None] & contrib, axis=1)
+
+        # Depth distortion (2DGS appendix; forward.cu:419-427)
+        safe_depth = jnp.maximum(depth, NEAR_N)
+        m = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N / safe_depth)
+        A = 1.0 - T_before
+        mw = m * w
+        m2w = m * m * w
+        M1b = carry.m1[:, None, :] + _excl_cumsum(mw, axis=1)
+        M2b = carry.m2[:, None, :] + _excl_cumsum(m2w, axis=1)
+        dist_out = carry.dist + jnp.sum((m * m * A + M2b - 2.0 * m * M1b) * w, axis=1)
+        m1_out = carry.m1 + jnp.sum(mw, axis=1)
+        m2_out = carry.m2 + jnp.sum(m2w, axis=1)
+
+        # Median depth: last contributor with T_before > 0.5 (forward.cu:429-433)
+        gk = (kbase + jnp.arange(C, dtype=jnp.int32) + 1)[None, :, None]  # 1-based
+        med_cond = contrib & (T_before > 0.5)
+        med_rank = jnp.max(jnp.where(med_cond, gk, 0), axis=1)  # [T,L]
+        has_med = med_rank > 0
+        sel = med_cond & (gk == med_rank[:, None, :])
+        med_depth_new = jnp.sum(jnp.where(sel, depth, 0.0), axis=1)
+        median_depth_out = jnp.where(has_med, med_depth_new, carry.median_depth)
+        median_idx_out = jnp.maximum(carry.median_idx, med_rank)
+
+        n_contrib_out = jnp.maximum(
+            carry.n_contrib, jnp.max(jnp.where(contrib, gk, 0), axis=1)
+        )
+
+        # Per-Gaussian max blend weight (replaces atomicExch, forward.cu:457-459)
+        w_inst = jnp.max(jax.lax.stop_gradient(w), axis=2)  # [T,C]
+        gw_out = carry.gw.at[ids.ravel()].max(w_inst.ravel())
+
+        return (
+            BlendCarry(
+                T=T_out,
+                done=done_out,
+                color=color_out,
+                normal=normal_out,
+                depth=depth_out,
+                refl=refl_out,
+                dist=dist_out,
+                m1=m1_out,
+                m2=m2_out,
+                scope=scope_out,
+                median_depth=median_depth_out,
+                n_contrib=n_contrib_out,
+                median_idx=median_idx_out,
+                gw=gw_out,
+            ),
+            None,
+        )
+
+    f32 = lambda *shape: jnp.zeros(shape, jnp.float32)
+    init = BlendCarry(
+        T=jnp.ones((n_tiles, L), jnp.float32),
+        done=jnp.zeros((n_tiles, L), bool),
+        color=f32(n_tiles, L, 3),
+        normal=f32(n_tiles, L, 3),
+        depth=f32(n_tiles, L),
+        refl=f32(n_tiles, L),
+        dist=f32(n_tiles, L),
+        m1=f32(n_tiles, L),
+        m2=f32(n_tiles, L),
+        scope=jnp.zeros((n_tiles, L), bool),
+        median_depth=f32(n_tiles, L),
+        n_contrib=jnp.zeros((n_tiles, L), jnp.int32),
+        median_idx=jnp.zeros((n_tiles, L), jnp.int32),
+        gw=f32(P),
+    )
+
+    final, _ = jax.lax.scan(
+        jax.checkpoint(body), init, (ids_s, mask_s, kbase_s), length=S
+    )
+
+    img = lambda x: _tiles_to_image(x, tiles_y, tiles_x, height, width)
+    out_color = img(final.color + final.T[..., None] * bg[None, None, :])
+    others = jnp.concatenate(
+        [
+            img(final.depth)[..., None],
+            img(1.0 - final.T)[..., None],
+            img(final.normal),
+            img(final.median_depth)[..., None],
+            img(final.dist)[..., None],
+            img(final.scope.astype(jnp.float32))[..., None],
+        ],
+        axis=-1,
+    )
+    return BlendOutput(
+        color=out_color,
+        others=others,
+        refl_map=img(final.refl),
+        final_T=img(final.T),
+        n_contrib=img(final.n_contrib),
+        gaussian_weights=jax.lax.stop_gradient(final.gw),
+    )

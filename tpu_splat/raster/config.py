@@ -1,0 +1,48 @@
+"""Static rasterizer configuration (shapes & capacities known at trace time).
+
+The reference CUDA runtime sizes its buffers dynamically per frame
+(rasterizer_impl.cu:155-194 resizable byte chunks + a num_rendered D2H sync).
+On TPU everything under jit must be static, so capacities are explicit here and
+callers grow them geometrically when the overflow diagnostics report
+truncation (the functional analogue of the reference's resize callback,
+rasterize_points.cu:31-37).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+TILE = 16  # pixels per tile side (reference config.h BLOCK_X/BLOCK_Y)
+TILE_PIX = TILE * TILE
+
+# Blending constants (reference auxiliary.h:41-44)
+NEAR_N = 0.2
+FAR_N = 100.0
+FILTER_SIZE = 0.707106  # sqrt(2)/2 low-pass radius
+FILTER_INV_SQUARE = 2.0
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+T_EPS = 1e-4  # transmittance termination
+CUTOFF = 3.0  # 3-sigma splat extent
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static capacities; hashable so it can be a jit static arg."""
+
+    max_tiles_per_gaussian: int = 64  # instances emitted per Gaussian (cap)
+    max_instances: int = 1 << 20  # global (gaussian, tile) instance capacity
+    tile_depth: int = 1024  # per-tile instance capacity (K)
+    chunk: int = 32  # instances blended per scan step
+    depth_ratio: float = 0.0  # expected(0) vs median(1) surf depth mix
+
+    def __post_init__(self):
+        assert self.tile_depth % self.chunk == 0
+
+    @property
+    def n_chunks(self) -> int:
+        return self.tile_depth // self.chunk
+
+
+def tile_grid(height: int, width: int) -> tuple[int, int]:
+    return (height + TILE - 1) // TILE, (width + TILE - 1) // TILE
