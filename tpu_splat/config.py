@@ -173,11 +173,10 @@ def get_combined_args(parser: ArgumentParser, argv=None) -> Namespace:
             with open(path) as f:
                 cfg_string = f.read()
     args_cfgfile = eval(cfg_string)  # noqa: S307 - same trust model as reference
+    # Reference semantics (arguments/__init__.py:142-145): persisted cfg_args
+    # values win; the command line only contributes keys the cfg lacks.
     merged = vars(args_cfgfile).copy()
     for k, v in vars(args_cmdline).items():
-        if v is not None or k not in merged:
-            if v is not None:
-                merged[k] = v
-            elif k not in merged:
-                merged[k] = v
+        if v is not None and k not in merged:
+            merged[k] = v
     return Namespace(**merged)

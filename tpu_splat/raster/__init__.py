@@ -57,6 +57,8 @@ def rasterize(
     screen_offset: jnp.ndarray | None = None,
     hom_precomp: jnp.ndarray | None = None,
     alive: jnp.ndarray | None = None,
+    mesh=None,
+    mesh_axis: str = "tiles",
 ) -> RasterOutput:
     H, W = camera.height, camera.width
     P = means3d.shape[0]
@@ -86,7 +88,39 @@ def rasterize(
             radius=jnp.where(valid, prep.radius, 0),
             tiles_touched=jnp.where(valid, prep.tiles_touched, 0),
         )
-    binned = bin_gaussians(prep, H, W, cfg)
+    n_shards = 1 if mesh is None else mesh.shape[mesh_axis]
+    use_pallas = cfg.backend == "pallas" and mesh is None
+    binned = bin_gaussians(
+        prep, H, W, cfg, pad_tiles_to=n_shards, aligned=use_pallas
+    )
+    if use_pallas:
+        from tpu_splat.raster.blend import blend_pallas
+
+        out = blend_pallas(
+            binned,
+            prep.hom,
+            prep.xy,
+            opacity,
+            prep.normal_view,
+            prep.color,
+            refl,
+            scope_mask,
+            bg,
+            H,
+            W,
+        )
+        return RasterOutput(
+            color=out.color,
+            others=out.others,
+            refl_map=out.refl_map,
+            radii=prep.radius,
+            gaussian_weights=out.gaussian_weights,
+            final_T=out.final_T,
+            n_contrib=out.n_contrib,
+            num_instances=binned.num_instances,
+            max_area=binned.max_area,
+            tile_counts=binned.tile_counts,
+        )
     out = blend(
         binned.tile_gid,
         binned.tile_mask,
@@ -101,6 +135,8 @@ def rasterize(
         H,
         W,
         cfg,
+        mesh=mesh,
+        axis=mesh_axis,
     )
     return RasterOutput(
         color=out.color,

@@ -25,13 +25,24 @@ class Binned(NamedTuple):
     num_instances: jnp.ndarray  # [] int32 true instance count (overflow check)
     max_area: jnp.ndarray  # [] int32 max tiles touched by one Gaussian
     tile_counts: jnp.ndarray  # [T] int32 instances per tile (pre-truncation)
+    sorted_gid: jnp.ndarray  # [cap] instance-sorted Gaussian ids (pallas path)
+    tile_starts: jnp.ndarray  # [T_padded] range start per tile in sorted order
+    aligned_gid: jnp.ndarray | None  # [cap_al] 64-aligned exclusive layout
+    aligned_valid: jnp.ndarray | None  # [cap_al] bool
+    aligned_starts: jnp.ndarray | None  # [T_padded]
+
+
+INSTANCE_ALIGN = 128  # kernels/tile_blend.py CI (lane-tile aligned)
 
 
 def bin_gaussians(
-    prep: Preprocessed, height: int, width: int, cfg: RasterConfig
+    prep: Preprocessed, height: int, width: int, cfg: RasterConfig,
+    pad_tiles_to: int = 1,
+    aligned: bool = False,
 ) -> Binned:
     tiles_y, tiles_x = tile_grid(height, width)
     n_tiles = tiles_y * tiles_x
+    n_tiles_padded = n_tiles + ((-n_tiles) % pad_tiles_to)
     P = prep.depth.shape[0]
     Kg = cfg.max_tiles_per_gaussian
     cap = cfg.max_instances
@@ -74,10 +85,37 @@ def bin_gaussians(
     ends = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
     counts = ends - starts
 
+    if n_tiles_padded != n_tiles:
+        pad = n_tiles_padded - n_tiles
+        starts = jnp.concatenate([starts, jnp.zeros(pad, jnp.int32)])
+        counts = jnp.concatenate([counts, jnp.zeros(pad, jnp.int32)])
+    counts_capped = jnp.minimum(counts, cfg.tile_depth)
     k = jnp.arange(cfg.tile_depth, dtype=jnp.int32)[None, :]
     slots = jnp.clip(starts[:, None] + k, 0, cap - 1)
-    tile_gid = sorted_gid[slots]  # [T, K]
-    tile_mask = k < counts[:, None]
+    tile_gid = sorted_gid[slots]  # [T_padded, K]
+    tile_mask = k < counts_capped[:, None]
+
+    aligned_gid = aligned_valid = aligned_starts = None
+    if aligned:
+        # Re-pack sorted instances so each tile's range starts on a
+        # 128-instance boundary and ranges are mutually exclusive (the Pallas
+        # kernel's aligned-DMA / exclusive-store contract).
+        al = INSTANCE_ALIGN
+        aligned_counts = ((counts + al - 1) // al) * al
+        aligned_starts = jnp.cumsum(aligned_counts) - aligned_counts
+        cap_al = cap + n_tiles_padded * al
+        i = jnp.arange(cap, dtype=jnp.int32)
+        tile_of = sorted_tile  # [cap]
+        real = tile_of < n_tiles
+        t_idx = jnp.clip(tile_of, 0, n_tiles_padded - 1)
+        new_pos = aligned_starts[t_idx] + (i - starts[t_idx])
+        new_pos = jnp.where(real, new_pos, cap_al)
+        aligned_gid = (
+            jnp.zeros((cap_al + 1,), jnp.int32).at[new_pos].set(sorted_gid)
+        )[:cap_al]
+        aligned_valid = (
+            jnp.zeros((cap_al + 1,), bool).at[new_pos].set(real)
+        )[:cap_al]
 
     num_instances = jnp.sum(area)
     return Binned(
@@ -85,5 +123,10 @@ def bin_gaussians(
         tile_mask=tile_mask,
         num_instances=num_instances,
         max_area=jnp.max(area),
-        tile_counts=counts,
+        tile_counts=counts[:n_tiles],
+        sorted_gid=sorted_gid,
+        tile_starts=starts,
+        aligned_gid=aligned_gid,
+        aligned_valid=aligned_valid,
+        aligned_starts=aligned_starts,
     )

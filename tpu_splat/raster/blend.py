@@ -14,13 +14,21 @@ atomicExch/atomicAdd; here per-Gaussian max blend weight is a scatter-max).
 Differentiable end-to-end: the scan body is wrapped in jax.checkpoint so
 reverse-mode autodiff recomputes chunk internals instead of storing them
 (the JAX analogue of backward.cu's back-to-front recomputation).
+
+Multi-chip: when a Mesh is supplied, the tile axis is sharded with shard_map —
+each chip blends its tile rows against replicated Gaussian data; the
+shard_map transpose inserts the per-Gaussian gradient psum automatically
+(the "NCCL all-reduce" of the design, riding ICI). This is the parallelism
+the reference doesn't have (SURVEY §2.16).
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from tpu_splat.raster.config import (
     TILE,
@@ -66,11 +74,28 @@ class BlendOutput(NamedTuple):
 
 def _tiles_to_image(x: jnp.ndarray, tiles_y: int, tiles_x: int, H: int, W: int):
     """[T, 256, ...] tile-major -> [H, W, ...] image."""
+    n_tiles = tiles_y * tiles_x
+    x = x[:n_tiles]  # drop shard padding
     trailing = x.shape[2:]
     x = x.reshape(tiles_y, tiles_x, TILE, TILE, *trailing)
     x = jnp.swapaxes(x, 1, 2)
     x = x.reshape(tiles_y * TILE, tiles_x * TILE, *trailing)
     return x[:H, :W]
+
+
+def image_to_tiles(img: jnp.ndarray, height: int, width: int, pad_tiles_to: int = 1):
+    """[H, W, ...] -> [T_padded, 256, ...] tile-major (for sharded losses)."""
+    tiles_y, tiles_x = tile_grid(height, width)
+    Hp, Wp = tiles_y * TILE, tiles_x * TILE
+    trailing = img.shape[2:]
+    out = jnp.zeros((Hp, Wp) + trailing, img.dtype).at[:height, :width].set(img)
+    out = out.reshape(tiles_y, TILE, tiles_x, TILE, *trailing)
+    out = jnp.swapaxes(out, 1, 2).reshape(tiles_y * tiles_x, TILE_PIX, *trailing)
+    n_tiles = tiles_y * tiles_x
+    pad = (-n_tiles) % pad_tiles_to
+    if pad:
+        out = jnp.concatenate([out, jnp.zeros((pad,) + out.shape[1:], out.dtype)])
+    return out
 
 
 def _excl_cumprod(x: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -85,35 +110,35 @@ def _excl_cumsum(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.cumsum(x, axis=axis) - x
 
 
-def blend(
-    tile_gid: jnp.ndarray,  # [T, K]
+class GaussFeats(NamedTuple):
+    """Per-Gaussian blending attributes (replicated across tile shards)."""
+
+    hom: jnp.ndarray  # [P,3,3]
+    xy: jnp.ndarray  # [P,2]
+    opacity: jnp.ndarray  # [P]
+    normal_view: jnp.ndarray  # [P,3]
+    color: jnp.ndarray  # [P,3]
+    refl: jnp.ndarray  # [P]
+    scope_mask: jnp.ndarray  # [P] bool
+
+
+def _blend_scan(
+    tile_gid: jnp.ndarray,  # [T, K] (T possibly a shard)
     tile_mask: jnp.ndarray,  # [T, K]
-    hom: jnp.ndarray,  # [P,3,3]
-    xy: jnp.ndarray,  # [P,2]
-    opacity: jnp.ndarray,  # [P]
-    normal_view: jnp.ndarray,  # [P,3]
-    color: jnp.ndarray,  # [P,3]
-    refl: jnp.ndarray,  # [P]
-    scope_mask: jnp.ndarray,  # [P] bool
-    bg: jnp.ndarray,  # [3]
-    height: int,
-    width: int,
+    org_xy: jnp.ndarray,  # [T, 2] pixel origin of each tile
+    feats: GaussFeats,
     cfg: RasterConfig,
-) -> BlendOutput:
-    tiles_y, tiles_x = tile_grid(height, width)
-    n_tiles = tiles_y * tiles_x
-    P = opacity.shape[0]
+    varying_axis: str | None = None,
+) -> BlendCarry:
+    n_tiles = tile_gid.shape[0]
+    P_ = feats.opacity.shape[0]
     C = cfg.chunk
     S = cfg.n_chunks
     L = TILE_PIX
 
-    # Per-tile pixel coordinates [T, 1, L]
-    t_idx = jnp.arange(n_tiles, dtype=jnp.int32)
-    org_x = (t_idx % tiles_x) * TILE
-    org_y = (t_idx // tiles_x) * TILE
     lane = jnp.arange(L, dtype=jnp.int32)
-    pixx = (org_x[:, None] + lane[None, :] % TILE).astype(jnp.float32)[:, None, :]
-    pixy = (org_y[:, None] + lane[None, :] // TILE).astype(jnp.float32)[:, None, :]
+    pixx = (org_xy[:, 0:1] + lane[None, :] % TILE).astype(jnp.float32)[:, None, :]
+    pixy = (org_xy[:, 1:2] + lane[None, :] // TILE).astype(jnp.float32)[:, None, :]
 
     ids_s = jnp.swapaxes(tile_gid.reshape(n_tiles, S, C), 0, 1)  # [S,T,C]
     mask_s = jnp.swapaxes(tile_mask.reshape(n_tiles, S, C), 0, 1)  # [S,T,C]
@@ -121,16 +146,16 @@ def blend(
 
     def body(carry: BlendCarry, xs):
         ids, vmask, kbase = xs  # [T,C], [T,C], []
-        h = hom[ids]  # [T,C,3,3]
+        h = feats.hom[ids]  # [T,C,3,3]
         Tu = h[..., 0, :]
         Tv = h[..., 1, :]
         Tw = h[..., 2, :]
-        g_xy = xy[ids]  # [T,C,2]
-        opa = opacity[ids]  # [T,C]
-        nrm = normal_view[ids]  # [T,C,3]
-        col = color[ids]  # [T,C,3]
-        rfl = refl[ids]  # [T,C]
-        scp = scope_mask[ids]  # [T,C]
+        g_xy = feats.xy[ids]  # [T,C,2]
+        opa = feats.opacity[ids]  # [T,C]
+        nrm = feats.normal_view[ids]  # [T,C,3]
+        col = feats.color[ids]  # [T,C,3]
+        rfl = feats.refl[ids]  # [T,C]
+        scp = feats.scope_mask[ids]  # [T,C]
 
         # Ray-splat intersection (2DGS Eqs. 8-10; forward.cu:363-394)
         def comp(v, i):
@@ -178,8 +203,9 @@ def blend(
         done_out = carry.done | jnp.any(trigger, axis=1)
 
         # Accumulators
-        color_out = carry.color + jnp.einsum("tcl,tck->tlk", w, col, precision=jax.lax.Precision.HIGHEST)
-        normal_out = carry.normal + jnp.einsum("tcl,tck->tlk", w, nrm, precision=jax.lax.Precision.HIGHEST)
+        hp = jax.lax.Precision.HIGHEST
+        color_out = carry.color + jnp.einsum("tcl,tck->tlk", w, col, precision=hp)
+        normal_out = carry.normal + jnp.einsum("tcl,tck->tlk", w, nrm, precision=hp)
         depth_out = carry.depth + jnp.sum(depth * w, axis=1)
         refl_out = carry.refl + jnp.sum(rfl[..., None] * w, axis=1)
         scope_out = carry.scope | jnp.any(scp[..., None] & contrib, axis=1)
@@ -249,12 +275,82 @@ def blend(
         median_depth=f32(n_tiles, L),
         n_contrib=jnp.zeros((n_tiles, L), jnp.int32),
         median_idx=jnp.zeros((n_tiles, L), jnp.int32),
-        gw=f32(P),
+        gw=f32(P_),
     )
 
+    if varying_axis is not None:
+        # under shard_map the scan body makes every carry component vary
+        # across the tile axis; the zero init must match that vma type
+        init = jax.tree.map(
+            lambda x: jax.lax.pcast(x, (varying_axis,), to="varying"), init
+        )
     final, _ = jax.lax.scan(
         jax.checkpoint(body), init, (ids_s, mask_s, kbase_s), length=S
     )
+    return final
+
+
+def tile_origins(height: int, width: int, pad_tiles_to: int = 1) -> jnp.ndarray:
+    """[T_padded, 2] pixel origin (x, y) of each tile, row-major."""
+    tiles_y, tiles_x = tile_grid(height, width)
+    t_idx = jnp.arange(tiles_y * tiles_x, dtype=jnp.int32)
+    org = jnp.stack([(t_idx % tiles_x) * TILE, (t_idx // tiles_x) * TILE], axis=-1)
+    pad = (-org.shape[0]) % pad_tiles_to
+    if pad:
+        # padded tiles point far outside the image: nothing bins there
+        org = jnp.concatenate(
+            [org, jnp.full((pad, 2), 1 << 22, jnp.int32)], axis=0
+        )
+    return org
+
+
+def blend(
+    tile_gid: jnp.ndarray,  # [T, K] (T padded to a multiple of mesh size)
+    tile_mask: jnp.ndarray,  # [T, K]
+    hom: jnp.ndarray,  # [P,3,3]
+    xy: jnp.ndarray,  # [P,2]
+    opacity: jnp.ndarray,  # [P]
+    normal_view: jnp.ndarray,  # [P,3]
+    color: jnp.ndarray,  # [P,3]
+    refl: jnp.ndarray,  # [P]
+    scope_mask: jnp.ndarray,  # [P] bool
+    bg: jnp.ndarray,  # [3]
+    height: int,
+    width: int,
+    cfg: RasterConfig,
+    mesh=None,
+    axis: str = "tiles",
+) -> BlendOutput:
+    tiles_y, tiles_x = tile_grid(height, width)
+    n_shards = 1 if mesh is None else mesh.shape[axis]
+    org = tile_origins(height, width, pad_tiles_to=n_shards)
+    feats = GaussFeats(
+        hom=hom, xy=xy, opacity=opacity, normal_view=normal_view,
+        color=color, refl=refl, scope_mask=scope_mask,
+    )
+
+    if mesh is None:
+        final = _blend_scan(tile_gid, tile_mask, org, feats, cfg)
+        gw = final.gw
+    else:
+        def local(tg, tm, og, ft):
+            out = _blend_scan(tg, tm, og, ft, cfg, varying_axis=axis)
+            # gw is [P]-global: emit per-shard partials on a leading axis
+            return out._replace(gw=out.gw[None])
+
+        sharded = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P()),
+            out_specs=BlendCarry(
+                T=P(axis), done=P(axis), color=P(axis), normal=P(axis),
+                depth=P(axis), refl=P(axis), dist=P(axis), m1=P(axis),
+                m2=P(axis), scope=P(axis), median_depth=P(axis),
+                n_contrib=P(axis), median_idx=P(axis), gw=P(axis),
+            ),
+        )
+        final = sharded(tile_gid, tile_mask, org, feats)
+        gw = jnp.max(final.gw, axis=0)
 
     img = lambda x: _tiles_to_image(x, tiles_y, tiles_x, height, width)
     out_color = img(final.color + final.T[..., None] * bg[None, None, :])
@@ -275,5 +371,83 @@ def blend(
         refl_map=img(final.refl),
         final_T=img(final.T),
         n_contrib=img(final.n_contrib),
-        gaussian_weights=jax.lax.stop_gradient(final.gw),
+        gaussian_weights=jax.lax.stop_gradient(gw),
+    )
+
+
+def blend_pallas(
+    binned,
+    hom: jnp.ndarray,
+    xy: jnp.ndarray,
+    opacity: jnp.ndarray,
+    normal_view: jnp.ndarray,
+    color: jnp.ndarray,
+    refl: jnp.ndarray,
+    scope_mask: jnp.ndarray,
+    bg: jnp.ndarray,
+    height: int,
+    width: int,
+    interpret: bool = False,
+) -> BlendOutput:
+    """Forward blend via the Pallas tile kernel (tpu_splat.kernels.tile_blend).
+
+    Differentiable: the kernel pair (forward sweep + hand-derived
+    back-to-front backward) is wrapped in custom_vjp; feature packing and
+    image unpacking around it are plain jnp so autodiff handles the
+    per-Gaussian segment reduction (gather transpose). Requires
+    bin_gaussians(..., aligned=True)."""
+    from tpu_splat.kernels import tile_blend as tb
+
+    tiles_y, tiles_x = tile_grid(height, width)
+    assert binned.aligned_gid is not None, "bin with aligned=True"
+    feats = tb.pack_features(
+        binned.aligned_gid, binned.aligned_valid,
+        hom, xy, opacity, normal_view, color, refl, scope_mask,
+    )
+    T_pad = binned.aligned_starts.shape[0]
+    org = tile_origins(height, width, pad_tiles_to=1)
+    if org.shape[0] < T_pad:
+        org = jnp.concatenate(
+            [org, jnp.full((T_pad - org.shape[0], 2), 1 << 22, jnp.int32)]
+        )
+    counts_full = jnp.concatenate(
+        [
+            binned.tile_counts,
+            jnp.zeros((T_pad - binned.tile_counts.shape[0],), jnp.int32),
+        ]
+    )
+    out_px, wmax = tb.blend_kernel(
+        feats, binned.aligned_starts, counts_full, org[:, 0], org[:, 1]
+    )
+
+    img = lambda x: _tiles_to_image(x, tiles_y, tiles_x, height, width)
+    Tf = out_px[:, tb.O_T, :]
+    color_img = img(
+        jnp.moveaxis(out_px[:, tb.O_COL : tb.O_COL + 3, :], 1, 2)
+        + Tf[..., None] * bg[None, None, :]
+    )
+    others = jnp.concatenate(
+        [
+            img(out_px[:, tb.O_DEPTH, :])[..., None],
+            img(1.0 - Tf)[..., None],
+            img(jnp.moveaxis(out_px[:, tb.O_NRM : tb.O_NRM + 3, :], 1, 2)),
+            img(out_px[:, tb.O_MED, :])[..., None],
+            img(out_px[:, tb.O_DIST, :])[..., None],
+            img(out_px[:, tb.O_SCOPE, :])[..., None],
+        ],
+        axis=-1,
+    )
+    P_ = opacity.shape[0]
+    gw = (
+        jnp.zeros((P_,), jnp.float32)
+        .at[binned.aligned_gid]
+        .max(jnp.where(binned.aligned_valid, wmax, 0.0))
+    )
+    return BlendOutput(
+        color=color_img,
+        others=others,
+        refl_map=img(out_px[:, tb.O_REFL, :]),
+        final_T=img(Tf),
+        n_contrib=img(out_px[:, tb.O_NCON, :]).astype(jnp.int32),
+        gaussian_weights=gw,
     )

@@ -35,6 +35,7 @@ class RasterConfig:
     tile_depth: int = 1024  # per-tile instance capacity (K)
     chunk: int = 32  # instances blended per scan step
     depth_ratio: float = 0.0  # expected(0) vs median(1) surf depth mix
+    backend: str = "xla"  # "xla" (differentiable scan) | "pallas" (fwd kernel)
 
     def __post_init__(self):
         assert self.tile_depth % self.chunk == 0

@@ -95,6 +95,8 @@ def render(
     env_scope_radius: float = 0.0,
     override_color: jnp.ndarray | None = None,
     screen_offset: jnp.ndarray | None = None,
+    mesh=None,
+    mesh_axis: str = "tiles",
 ) -> RenderOutput:
     """Differentiable training render (reference render(), :42-219).
 
@@ -126,6 +128,8 @@ def render(
         scale_modifier=scaling_modifier,
         screen_offset=screen_offset,
         alive=state.alive,
+        mesh=mesh,
+        mesh_axis=mesh_axis,
     )
 
     allmap = out.others

@@ -71,6 +71,8 @@ def make_train_step(
     env_scope_center=(0.0, 0.0, 0.0),
     env_scope_radius: float = 0.0,
     isp_apply=None,
+    mesh=None,
+    mesh_axis: str = "tiles",
 ):
     """Build the jitted train step. `opt_cfg` is an OptimizationParams-like
     object (static). `isp_apply(params, img, frame_idx) -> img` optionally
@@ -98,6 +100,8 @@ def make_train_step(
             else None,
             env_scope_radius=env_scope_radius if use_env_scope else 0.0,
             screen_offset=screen_offset,
+            mesh=mesh,
+            mesh_axis=mesh_axis,
         )
         rgb = out.render
         gt = gt_image
