@@ -158,3 +158,60 @@ def test_screen_offset_probe_gradient():
     g = np.asarray(jax.grad(loss)(so))
     assert not np.any(np.isnan(g))
     assert np.abs(g).max() > 0.0
+
+
+def test_volumetric_mode():
+    """3DGS EWA variant: renders, matches an analytic single-splat check."""
+    import math
+    from tpu_splat.data import orbit_camera
+
+    cam = orbit_camera(H, W, radius=4.0, azimuth=0.0, elevation=0.0)
+    # one isotropic gaussian at origin
+    means = jnp.zeros((1, 3))
+    scales3 = jnp.full((1, 3), 0.1)
+    rots = jnp.array([[1.0, 0, 0, 0]])
+    opa = jnp.array([0.9])
+    refl = jnp.array([0.0])
+    colors = jnp.array([[1.0, 0.0, 0.0]])
+    out = rasterize(
+        means, scales3, rots, opa, refl, cam, jnp.zeros(3), CFG,
+        colors=colors, mode="volumetric",
+        normals=jnp.array([[0.0, 0.0, 1.0]]),
+    )
+    img = np.asarray(out.color)
+    assert not np.any(np.isnan(img))
+    # analytic EWA gaussian: center at ((0+1)*S-1)/2 = 23.5 (half-pixel),
+    # var = (focal*s/z)^2 + 0.3 dilation; single splat over black bg ->
+    # red = alpha = 0.9 * exp(-0.5 * d^2/var)
+    focal = W / (2 * math.tan(cam.fovx / 2))
+    var = (focal * 0.1 / 4.0) ** 2 + 0.3
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
+    d2 = (xs - (W - 1) / 2) ** 2 + (ys - (H - 1) / 2) ** 2
+    expected = 0.9 * np.exp(-0.5 * d2 / var)
+    expected[expected < 1.0 / 255.0] = 0.0  # alpha skip threshold
+    np.testing.assert_allclose(img[..., 0], expected, atol=5e-3)
+    assert img[..., 1].max() < 1e-3
+    # depth map at center equals view-space z (= 4)
+    depth = np.asarray(out.others[..., 0]) / np.clip(
+        np.asarray(out.others[..., 1]), 1e-6, None
+    )
+    assert abs(depth[H // 2, W // 2] - 4.0) < 0.05
+
+
+def test_volumetric_gradients_finite():
+    act, cam = _scene(n=30, seed=11)
+    scales3 = jnp.concatenate([act["scales"], act["scales"][:, :1]], axis=1)
+
+    def loss(means, sc, rots, opa):
+        out = rasterize(
+            means, sc, rots, opa, act["refl"], cam, jnp.zeros(3), CFG,
+            sh=act["sh"], sh_degree=0, mode="volumetric", antialiasing=True,
+        )
+        return jnp.sum((out.color - 0.5) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        act["means3d"], scales3, act["rotations"], act["opacity"]
+    )
+    for a in g:
+        assert not np.any(np.isnan(np.asarray(a)))
+        assert np.abs(np.asarray(a)).max() > 0

@@ -203,3 +203,31 @@ def test_ssim_basics():
     b = jnp.clip(a + 0.3 * rng.normal(size=a.shape).astype(np.float32), 0, 1)
     assert float(ssim(a, b)) < 0.9
     assert float(psnr(a, a + 0.1)) == pytest.approx(20.0, abs=0.1)
+
+
+def test_train_step_with_isp():
+    from tpu_splat.isp import ISPConfig
+
+    state, cam = _setup(n=40, capacity=64)
+    opt_cfg = OptimizationParams(init_until_iter=0)
+    ts = TrainState.create(state, opt_cfg, num_frames=5)
+    step = jax.jit(
+        make_train_step(
+            opt_cfg, CFG, spatial_lr_scale=1.0, isp_cfg=ISPConfig()
+        )
+    )
+    gt = jnp.full((H, W, 3), 0.4)
+    losses = []
+    for i in range(6):
+        ts, aux = step(ts, cam, gt, jnp.zeros(3), frame_idx=i % 5)
+        losses.append(float(aux.loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # ISP parameters moved off identity
+    assert float(jnp.abs(ts.isp.gain - jnp.eye(3)).max()) > 0
+    # frozen scene: gaussians stop, ISP keeps moving
+    g0 = ts.gaussians.xyz
+    i0 = ts.isp.gain
+    ts, _ = step(ts, cam, gt, jnp.zeros(3), frame_idx=0, frozen=True)
+    assert float(jnp.abs(ts.gaussians.xyz - g0).max()) == 0.0
+    assert float(jnp.abs(ts.isp.gain - i0).max()) > 0.0

@@ -37,6 +37,12 @@ PARAM_GROUP = {
 }
 
 
+def param_group(key: str) -> str:
+    if key.startswith("isp_"):
+        return "isp"
+    return PARAM_GROUP[key]
+
+
 class AdamState(NamedTuple):
     mu: dict
     nu: dict
@@ -63,7 +69,7 @@ def adam_step(
         mu = B1 * state.mu[k] + (1 - B1) * g
         nu = B2 * state.nu[k] + (1 - B2) * (g * g)
         update = (mu / bc1) / (jnp.sqrt(nu / bc2) + EPS)
-        lr = lrs[PARAM_GROUP[k]]
+        lr = lrs[param_group(k)]
         new_params[k] = p - lr * update
         new_mu[k] = mu
         new_nu[k] = nu
@@ -81,6 +87,7 @@ def default_lrs(opt, spatial_lr_scale: float) -> dict:
         "rotation": opt.rotation_lr,
         "refl": opt.refl_lr,
         "env": opt.envmap_cubemap_lr,
+        "isp": 1e-3,  # learned ISP group (PPISP role; dep absent in reference)
     }
 
 

@@ -59,28 +59,61 @@ def rasterize(
     alive: jnp.ndarray | None = None,
     mesh=None,
     mesh_axis: str = "tiles",
+    mode: str = "surfel",
+    normals: jnp.ndarray | None = None,
+    antialiasing: bool = False,
 ) -> RasterOutput:
+    """mode='surfel': 2DGS disks (scales [P,2], production path).
+    mode='volumetric': classic 3DGS EWA splats (scales [P,3], per-Gaussian
+    input `normals` blended — reference diff-gaussian-rasterization
+    variant, SURVEY §2.5); `antialiasing` enables the Mip-Splatting
+    opacity rescale."""
     H, W = camera.height, camera.width
     P = means3d.shape[0]
     if scope_mask is None:
         scope_mask = jnp.ones((P,), dtype=bool)
 
-    prep = preprocess(
-        means3d,
-        scales,
-        rotations,
-        camera.world_view,
-        camera.full_proj,
-        camera.camera_center,
-        H,
-        W,
-        sh=sh,
-        sh_degree=sh_degree,
-        colors=colors,
-        scale_modifier=scale_modifier,
-        screen_offset=screen_offset,
-        hom_precomp=hom_precomp,
-    )
+    if mode == "volumetric":
+        from tpu_splat.raster.volumetric import preprocess_volumetric
+
+        if normals is None:
+            normals = jnp.zeros((P, 3)).at[:, 2].set(1.0)
+        prep, opa_scale = preprocess_volumetric(
+            means3d,
+            scales,
+            rotations,
+            normals,
+            camera.world_view,
+            camera.full_proj,
+            camera.camera_center,
+            H,
+            W,
+            camera.tanfovx,
+            camera.tanfovy,
+            sh=sh,
+            sh_degree=sh_degree,
+            colors=colors,
+            scale_modifier=scale_modifier,
+            antialiasing=antialiasing,
+        )
+        opacity = opacity * opa_scale
+    else:
+        prep = preprocess(
+            means3d,
+            scales,
+            rotations,
+            camera.world_view,
+            camera.full_proj,
+            camera.camera_center,
+            H,
+            W,
+            sh=sh,
+            sh_degree=sh_degree,
+            colors=colors,
+            scale_modifier=scale_modifier,
+            screen_offset=screen_offset,
+            hom_precomp=hom_precomp,
+        )
     if alive is not None:
         valid = prep.valid & alive
         prep = prep._replace(

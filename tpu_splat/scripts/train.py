@@ -79,18 +79,23 @@ def training(args, argv_namespace=None):
         depth_ratio=pipe.depth_ratio,
     )
 
-    ts = TrainState.create(state, opt)
+    ts = TrainState.create(
+        state,
+        opt,
+        num_frames=len(scene.train_cameras) if model.post_process else None,
+    )
     first_iter = 0
     if args.start_checkpoint:
         ts, first_iter = load_checkpoint(args.start_checkpoint, ts)
         print(f"Restored checkpoint at iteration {first_iter}")
 
+    isp_cfg = None
     if model.post_process:
-        # TODO(round 1): wire ISP params into TrainState + optimizer groups;
-        # until then the raw-render path is used (reference post_process=False
-        # behavior — SURVEY §2.14 recommends shipping this path first).
-        print("[note] post_process ISP not yet wired into the train step; "
-              "training on raw renders")
+        from tpu_splat.isp import ISPConfig
+
+        isp_cfg = ISPConfig(
+            controller_activation_ratio=(opt.iterations - 5000) / opt.iterations
+        )
 
     bg = jnp.asarray([1.0, 1.0, 1.0] if model.white_background else [0.0, 0.0, 0.0])
 
@@ -102,8 +107,8 @@ def training(args, argv_namespace=None):
             use_env_scope=opt.use_env_scope,
             env_scope_center=opt.env_scope_center,
             env_scope_radius=opt.env_scope_radius,
-        ),
-        static_argnames=(),
+            isp_cfg=isp_cfg,
+        )
     )
 
     cams = scene.train_cameras
@@ -123,7 +128,10 @@ def training(args, argv_namespace=None):
         frozen = is_scene_frozen(iteration, opt, model.post_process)
         gt = jnp.asarray(cam.image)
         alpha = jnp.asarray(cam.alpha) if cam.alpha is not None else None
-        ts, aux = step_fn(ts, cam.camera, gt, bg, gt_alpha=alpha, frozen=frozen)
+        ts, aux = step_fn(
+            ts, cam.camera, gt, bg, gt_alpha=alpha, frozen=frozen,
+            frame_idx=vind,
+        )
 
         ema_loss = 0.4 * float(aux.loss) + 0.6 * ema_loss
         if iteration % 100 == 0 or iteration == 1:

@@ -26,9 +26,32 @@ from tpu_splat.model.optim import (
     xyz_lr_schedule,
 )
 from tpu_splat.model.densify import DensifyStats, add_stats
+from tpu_splat.isp.ppisp import ISPConfig, ISPParams, init_isp, apply_isp, isp_regularization
 from tpu_splat.raster.config import RasterConfig
 from tpu_splat.renderer.render import render
 from tpu_splat.train.losses import l1_loss, ssim
+
+
+def _isp_leaves(isp: ISPParams) -> dict:
+    return {
+        "isp_gain": isp.gain,
+        "isp_bias": isp.bias,
+        "isp_log_gamma": isp.log_gamma,
+        "isp_ctrl_gain": isp.ctrl_gain,
+        "isp_ctrl_bias": isp.ctrl_bias,
+        "isp_ctrl_log_gamma": isp.ctrl_log_gamma,
+    }
+
+
+def _isp_from_leaves(p: dict) -> ISPParams:
+    return ISPParams(
+        gain=p["isp_gain"],
+        bias=p["isp_bias"],
+        log_gamma=p["isp_log_gamma"],
+        ctrl_gain=p["isp_ctrl_gain"],
+        ctrl_bias=p["isp_ctrl_bias"],
+        ctrl_log_gamma=p["isp_ctrl_log_gamma"],
+    )
 
 
 @struct.dataclass
@@ -39,16 +62,25 @@ class TrainState:
     step: jnp.ndarray  # [] int32 (1-based like the reference loop)
     opacity_lr: jnp.ndarray  # [] f32, pulsed by normal-prop events
     key: jax.Array
+    isp: ISPParams | None = None  # learned per-frame ISP (PPISP role)
 
     @classmethod
-    def create(cls, gaussians: GaussianState, opt_cfg, seed: int = 0) -> "TrainState":
+    def create(
+        cls, gaussians: GaussianState, opt_cfg, seed: int = 0,
+        num_frames: int | None = None,
+    ) -> "TrainState":
+        isp = init_isp(num_frames) if num_frames is not None else None
+        params = gaussians.param_pytree()
+        if isp is not None:
+            params = {**params, **_isp_leaves(isp)}
         return cls(
             gaussians=gaussians,
-            opt=adam_init(gaussians.param_pytree()),
+            opt=adam_init(params),
             stats=DensifyStats.zeros(gaussians.capacity),
             step=jnp.zeros((), jnp.int32),
             opacity_lr=jnp.asarray(opt_cfg.opacity_lr, jnp.float32),
             key=jax.random.PRNGKey(seed),
+            isp=isp,
         )
 
 
@@ -70,14 +102,16 @@ def make_train_step(
     use_env_scope: bool = False,
     env_scope_center=(0.0, 0.0, 0.0),
     env_scope_radius: float = 0.0,
-    isp_apply=None,
+    isp_cfg: ISPConfig | None = None,
     mesh=None,
     mesh_axis: str = "tiles",
 ):
     """Build the jitted train step. `opt_cfg` is an OptimizationParams-like
-    object (static). `isp_apply(params, img, frame_idx) -> img` optionally
-    post-processes the render before the loss (PPISP role, train.py:162-165);
-    ISP params then ride in the grad pytree of the caller (see isp module).
+    object (static). When `isp_cfg` is given (and TrainState.isp is present),
+    the render is post-processed by the learned per-frame ISP before the loss
+    and the ISP regularization joins the objective (PPISP role,
+    train.py:162-165,194-196); the ISP keeps training while the scene is
+    frozen, and unknown frames (frame_idx=-1) use the shared controller.
     """
     xyz_sched = xyz_lr_schedule(opt_cfg, spatial_lr_scale)
     base_lrs = default_lrs(opt_cfg, spatial_lr_scale)
@@ -87,7 +121,7 @@ def make_train_step(
     freeze_xyz_from = opt_cfg.iterations - 10_000  # train.py:232-233
 
     def loss_fn(params, screen_offset, state: GaussianState, camera, gt_image,
-                gt_alpha, bg, initial_stage):
+                gt_alpha, bg, initial_stage, frame_idx, frozen_f):
         g = state.with_params(params)
         out = render(
             g,
@@ -109,8 +143,9 @@ def make_train_step(
             # composite both over bg with their alphas (train.py:154-159)
             gt = gt * gt_alpha + (1 - gt_alpha) * bg
             rgb = rgb * out.alpha + (1 - out.alpha) * bg
-        if isp_apply is not None:
-            rgb = isp_apply(params, rgb)
+        if isp_cfg is not None:
+            isp = _isp_from_leaves(params)
+            rgb = apply_isp(isp, rgb, frame_idx, use_controller=frozen_f)
 
         l1 = l1_loss(rgb, gt)
         ssim_v = ssim(rgb, gt)
@@ -135,6 +170,9 @@ def make_train_step(
         if not opt_cfg.disable_normal_consistentcy_loss:
             loss = loss + normal_loss
 
+        if isp_cfg is not None:
+            loss = loss + isp_regularization(_isp_from_leaves(params), isp_cfg)
+
         mse = jnp.mean((rgb - gt) ** 2)
         aux = (out, l1, ssim_v, normal_loss, mse)
         return loss, aux
@@ -146,16 +184,20 @@ def make_train_step(
         bg: jnp.ndarray,
         gt_alpha: jnp.ndarray | None = None,
         frozen: jnp.ndarray | bool = False,
+        frame_idx: jnp.ndarray | int = -1,
     ) -> tuple[TrainState, StepAux]:
         step = ts.step + 1
         initial_stage = step < opt_cfg.init_until_iter
+        frozen_f = jnp.asarray(frozen, bool)
         params = ts.gaussians.param_pytree()
+        if isp_cfg is not None:
+            params = {**params, **_isp_leaves(ts.isp)}
         so = jnp.zeros((ts.gaussians.capacity, 2))
 
         (loss, (out, l1, ssim_v, normal_loss, mse)), (gparams, gso) = (
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 params, so, ts.gaussians, camera, gt_image, gt_alpha, bg,
-                initial_stage,
+                initial_stage, jnp.asarray(frame_idx, jnp.int32), frozen_f,
             )
         )
 
@@ -166,11 +208,17 @@ def make_train_step(
         frozen_xyz = step > freeze_xyz_from
         lrs["xyz"] = jnp.where(frozen_xyz, 0.0, lrs["xyz"])
         lrs["rotation"] = jnp.where(frozen_xyz, 0.0, base_lrs["rotation"])
-        frozen_f = jnp.asarray(frozen, bool)
-        lrs = {k: jnp.where(frozen_f, 0.0, jnp.asarray(v, jnp.float32)) for k, v in lrs.items()}
+        # scene freeze zeroes every Gaussian lr; the ISP keeps training
+        # (reference train.py:292-306)
+        lrs = {
+            k: jnp.where(frozen_f, 0.0, jnp.asarray(v, jnp.float32))
+            for k, v in lrs.items()
+        }
+        lrs["isp"] = jnp.asarray(base_lrs["isp"], jnp.float32)
 
         new_params, new_opt = adam_step(params, gparams, ts.opt, lrs)
         new_g = ts.gaussians.with_params(new_params)
+        new_isp = _isp_from_leaves(new_params) if isp_cfg is not None else ts.isp
 
         # SH degree ramp every 1000 its after feature_rest_from_iter
         # (train.py:131-132; gated on post_process like the reference)
@@ -199,7 +247,10 @@ def make_train_step(
             n_alive=new_g.num_alive,
         )
         return (
-            ts.replace(gaussians=new_g, opt=new_opt, stats=stats, step=step),
+            ts.replace(
+                gaussians=new_g, opt=new_opt, stats=stats, step=step,
+                isp=new_isp,
+            ),
             aux,
         )
 
