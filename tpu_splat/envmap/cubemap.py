@@ -145,12 +145,14 @@ def sample_cubemap(
     params: CubemapParams, dirs: jnp.ndarray, interp: str = "seamless"
 ) -> jnp.ndarray:
     """dirs [..., 3] -> colors [..., C]. Differentiable in texture, fail value
-    AND direction (the path that drives normals in deferred reflection)."""
-    shape = dirs.shape[:-1]
-    dirs = dirs.reshape(-1, 3)
+    AND direction (the path that drives normals in deferred reflection).
+
+    Shape-polymorphic: leading dims are preserved through every op (do NOT
+    flatten an [H,W,3] map to [B,3] — [B,1] column temporaries tile-pad 128x
+    on TPU and cost gigabytes at 1080p)."""
     L = params.resolution
 
-    fail = jnp.all(dirs == 0.0, axis=-1)  # [B]
+    fail = jnp.all(dirs == 0.0, axis=-1)  # [...]
     face, u, v = _face_uv(dirs)
     v = -v  # LEFT_TOP_AS_ORIGIN (cubemapencoder.cu:202-204)
     su = (u * 0.5 + 0.5) * L
@@ -225,17 +227,17 @@ def sample_cubemap(
             v10 = _tex_gather(params.texture, *t10)
             v11_tex = _tex_gather(params.texture, *t11)
             v11 = jnp.where(
-                is_vertex[:, None], (v00 + v01 + v10) / 3.0, v11_tex
+                is_vertex[..., None], (v00 + v01 + v10) / 3.0, v11_tex
             )
         else:
             raise ValueError(f"unknown interp {interp!r}")
 
-        kx = kx[:, None]
-        ky = ky[:, None]
+        kx = kx[..., None]
+        ky = ky[..., None]
         out = (1 - ky) * ((1 - kx) * v00 + kx * v01) + ky * ((1 - kx) * v10 + kx * v11)
 
-    out = jnp.where(fail[:, None], params.fail_value[None, :], out)
-    return out.reshape(*shape, params.channels)
+    out = jnp.where(fail[..., None], params.fail_value, out)
+    return out
 
 
 def resize_cubemap(params: CubemapParams, new_resolution: int) -> CubemapParams:

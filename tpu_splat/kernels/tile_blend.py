@@ -318,30 +318,30 @@ def pack_features(
     refl: jnp.ndarray,
     scope_mask: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Gather per-Gaussian attrs into the kernel's [F_PAD, N_cap] layout
-    (ONE gather per frame, in depth-sorted instance order). Pad slots get
-    opacity 0 so they can never contribute even if counted."""
-    n_cap = sorted_gid.shape[0]
-    g = sorted_gid
-    rows = [
-        hom[g, 0, 0], hom[g, 0, 1], hom[g, 0, 2],
-        hom[g, 1, 0], hom[g, 1, 1], hom[g, 1, 2],
-        hom[g, 2, 0], hom[g, 2, 1], hom[g, 2, 2],
-        xy[g, 0], xy[g, 1],
-        opacity[g],
-        color[g, 0], color[g, 1], color[g, 2],
-        normal_view[g, 0], normal_view[g, 1], normal_view[g, 2],
-        refl[g],
-        scope_mask[g].astype(jnp.float32),
-    ]
-    feats = jnp.stack(rows, axis=0)  # [20, N_cap]
-    # Mask EVERY row by validity: pad slots (and the never-written tail of
-    # the backward kernel's d_feats buffer) must not leak gradients into
-    # Gaussian 0 through the gather's scatter-add transpose.
-    feats = jnp.where(valid[None, :], feats, 0.0)
-    return jnp.concatenate(
-        [feats, jnp.zeros((F_PAD - feats.shape[0], n_cap), jnp.float32)], axis=0
-    )
+    """Gather per-Gaussian attrs into the kernel's [F_PAD, N_cap] layout.
+
+    ONE row-gather: attributes are first packed per-Gaussian into a [P, 24]
+    matrix (cheap, P rows), then gathered by sorted instance id as contiguous
+    96-byte rows — orders of magnitude friendlier to the TPU than 24 separate
+    element-gathers. Validity masks every row so pad slots (and the backward
+    kernel's never-written d_feats tail) cannot leak gradients into
+    Gaussian 0 through the gather's scatter-add transpose."""
+    P_ = opacity.shape[0]
+    g24 = jnp.concatenate(
+        [
+            hom.reshape(P_, 9),
+            xy,
+            opacity[:, None],
+            color,
+            normal_view,
+            refl[:, None],
+            scope_mask.astype(jnp.float32)[:, None],
+            jnp.zeros((P_, F_PAD - 20), jnp.float32),
+        ],
+        axis=1,
+    )  # [P, F_PAD]
+    feats = jnp.where(valid[:, None], g24[sorted_gid], 0.0)  # [N_cap, F_PAD]
+    return feats.T
 
 
 # ---------------------------------------------------------------------------

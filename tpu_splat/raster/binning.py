@@ -48,36 +48,42 @@ def bin_gaussians(
     cap = cfg.max_instances
 
     area = prep.tiles_touched  # [P] int32, 0 for invalid
-    offsets = jnp.cumsum(area) - area  # exclusive prefix (duplicateWithKeys offsets)
+
+    # Two-stage sort (cheaper than a 64-bit (tile,depth) radix equivalent):
+    # 1. depth-argsort the P Gaussians once (P << instances);
+    # 2. emit instances in that order, then a SINGLE-key stable sort by tile.
+    # Stability preserves emission order within a tile = front-to-back depth
+    # with ties broken by Gaussian index — identical to the reference's
+    # stable radix order (rasterizer_impl.cu:70-111).
+    gkey = jnp.where(prep.valid, prep.depth, jnp.inf)
+    gorder = jnp.argsort(gkey, stable=True).astype(jnp.int32)  # [P]
+    area_o = area[gorder]
+    rect_min_o = prep.rect_min[gorder]
+    rect_max_o = prep.rect_max[gorder]
+    offsets = jnp.cumsum(area_o) - area_o
 
     j = jnp.arange(Kg, dtype=jnp.int32)[None, :]  # [1,Kg]
-    rect_w = (prep.rect_max[:, 0] - prep.rect_min[:, 0])[:, None]
-    emit = (j < area[:, None]) & (j < Kg)
+    rect_w = (rect_max_o[:, 0] - rect_min_o[:, 0])[:, None]
+    emit = (j < area_o[:, None]) & (j < Kg)
     safe_w = jnp.maximum(rect_w, 1)
-    tx = prep.rect_min[:, 0:1] + j % safe_w
-    ty = prep.rect_min[:, 1:2] + j // safe_w
+    tx = rect_min_o[:, 0:1] + j % safe_w
+    ty = rect_min_o[:, 1:2] + j // safe_w
     tile = ty * tiles_x + tx  # [P,Kg]
 
     pos = offsets[:, None] + j  # [P,Kg] target slot in instance buffer
     # Invalid / overflowing entries go to a dump slot (cap) that is sliced off.
     pos = jnp.where(emit & (pos < cap), pos, cap)
 
-    gid = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[:, None], (P, Kg))
+    gid = jnp.broadcast_to(gorder[:, None], (P, Kg))
     inst_tile = (
         jnp.full((cap + 1,), n_tiles, dtype=jnp.int32).at[pos.ravel()].set(tile.ravel())
-    )[:cap]
-    inst_depth = (
-        jnp.zeros((cap + 1,), dtype=jnp.float32)
-        .at[pos.ravel()]
-        .set(jnp.broadcast_to(prep.depth[:, None], (P, Kg)).ravel())
     )[:cap]
     inst_gid = (
         jnp.zeros((cap + 1,), dtype=jnp.int32).at[pos.ravel()].set(gid.ravel())
     )[:cap]
 
-    # Stable lexicographic sort: (tile asc, depth asc); sentinel tile==n_tiles last.
-    sorted_tile, _, sorted_gid = jax.lax.sort(
-        (inst_tile, inst_depth, inst_gid), num_keys=2, is_stable=True
+    sorted_tile, sorted_gid = jax.lax.sort(
+        (inst_tile, inst_gid), num_keys=1, is_stable=True
     )
 
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
