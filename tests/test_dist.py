@@ -80,3 +80,32 @@ def test_full_train_step_multichip():
         losses.append(float(aux.loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_sharded_pallas_matches_single():
+    """Pallas kernel pair under 8-way tile sharding == single-device."""
+    state, cam = _setup(n=50, capacity=64)
+    mesh = make_mesh(8)
+    pal = RasterConfig(
+        max_tiles_per_gaussian=16, max_instances=4096, tile_depth=256,
+        chunk=16, backend="pallas",
+    )
+    bg = jnp.array([0.2, 0.1, 0.3])
+    o1 = render(state, cam, pal, bg, initial_stage=False)
+    o8 = render(state, cam, pal, bg, initial_stage=False, mesh=mesh)
+    np.testing.assert_allclose(o8.render, o1.render, atol=1e-5)
+    np.testing.assert_allclose(o8.gaussian_weights, o1.gaussian_weights, atol=1e-6)
+
+    def loss(params, mesh):
+        s = state.with_params(params)
+        o = render(s, cam, pal, bg, initial_stage=False, mesh=mesh)
+        return jnp.mean((o.render - 0.3) ** 2)
+
+    p = state.param_pytree()
+    g1 = jax.grad(loss)(p, None)
+    g8 = jax.grad(loss)(p, mesh)
+    for k in g1:
+        a, b = np.asarray(g1[k]), np.asarray(g8[k])
+        assert not np.any(np.isnan(b)), k
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-3, err_msg=k)

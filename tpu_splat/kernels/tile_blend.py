@@ -97,9 +97,10 @@ def _tile_blend_kernel(
     orgy_ref,  # [T] i32
     # inputs
     feats_ref,  # [F_PAD, N_cap] ANY/HBM
+    wmax_init_ref,  # [8, N_cap] ANY/HBM zeros (aliased to wmax output)
     # outputs
     out_px_ref,  # block (1, 16, L) VMEM
-    wmax_ref,  # [8, N_cap] ANY/HBM (row 0 = wmax; full-tile slab stores)
+    wmax_ref,  # [8, N_cap] ANY/HBM (row 0 = wmax; aliased, zero elsewhere)
     # scratch
     state,  # VMEM (24, L); rows 0..15 are the output block, 16+ internal
     fbuf,  # VMEM (F_PAD, CI)
@@ -250,17 +251,8 @@ def _tile_blend_kernel(
         ci, all_done = carry
         return (ci < n_chunks) & ~all_done
 
-    ci_end, _ = jax.lax.while_loop(
-        cond, chunk_body, (jnp.int32(0), jnp.bool_(False))
-    )
-
-    # early termination skipped chunks: their instances contribute nothing —
-    # zero-fill their wmax slots so downstream stats see 0, not garbage
-    def zfill_body(ci):
-        store_wmax(start + ci * CI, jnp.zeros((CI,), jnp.float32))
-        return ci + 1
-
-    jax.lax.while_loop(lambda ci: ci < n_chunks, zfill_body, ci_end)
+    jax.lax.while_loop(cond, chunk_body, (jnp.int32(0), jnp.bool_(False)))
+    # (skipped chunks need no zero-fill: wmax is aliased to a zeros input)
 
     out_px_ref[0, :, :] = state[0:16, :]
 
@@ -281,7 +273,10 @@ def tile_blend_forward(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         out_specs=[
             pl.BlockSpec((1, 16, L), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -294,6 +289,9 @@ def tile_blend_forward(
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    # wmax is aliased to a zero input: under tile sharding each shard only
+    # writes its own ranges, so unwritten slots must be 0, not garbage
+    wmax_init = jnp.zeros((8, n_cap), jnp.float32)
     out_px, wmax = pl.pallas_call(
         _tile_blend_kernel,
         grid_spec=grid_spec,
@@ -301,9 +299,10 @@ def tile_blend_forward(
             jax.ShapeDtypeStruct((T, 16, L), jnp.float32),
             jax.ShapeDtypeStruct((8, n_cap), jnp.float32),
         ],
+        input_output_aliases={5: 1},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, counts, org_x, org_y, feats)
+    )(starts, counts, org_x, org_y, feats, wmax_init)
     return out_px, wmax[0]
 
 
@@ -381,7 +380,8 @@ def _tile_blend_bwd_kernel(
     feats_ref,  # [F_PAD, N_cap] ANY
     fwd_px_ref,  # block (1, 16, L): forward outputs
     ct_px_ref,  # block (1, 16, L): cotangents of forward outputs
-    dfeats_ref,  # [F_PAD, N_cap] ANY output
+    dfeats_init_ref,  # [F_PAD, N_cap] ANY zeros (aliased to output)
+    dfeats_ref,  # [F_PAD, N_cap] ANY output (aliased, zero where unwritten)
     state,  # VMEM (16, L) reverse carries
     fbuf,  # VMEM (F_PAD, CI)
     gbuf,  # VMEM (F_PAD, CI) grad slab
@@ -633,14 +633,7 @@ def _tile_blend_bwd_kernel(
         return _
 
     jax.lax.fori_loop(0, used_chunks, chunk_body, None)
-
-    # zero-fill grads of non-contributing trailing chunks
-    def zfill(ci, _):
-        gbuf[:] = jnp.zeros((F_PAD, CI), jnp.float32)
-        store_grads(start + ci * CI)
-        return _
-
-    jax.lax.fori_loop(used_chunks, n_chunks, zfill, None)
+    # (non-contributing chunks need no zero-fill: d_feats is aliased to zeros)
 
 
 def tile_blend_backward(
@@ -665,6 +658,7 @@ def tile_blend_backward(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 16, L), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, 16, L), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
@@ -675,13 +669,15 @@ def tile_blend_backward(
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    dfeats_init = jnp.zeros((F_PAD, n_cap), jnp.float32)
     (d_feats,) = pl.pallas_call(
         _tile_blend_bwd_kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((F_PAD, n_cap), jnp.float32)],
+        input_output_aliases={7: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, counts, org_x, org_y, feats, fwd_px, ct_px)
+    )(starts, counts, org_x, org_y, feats, fwd_px, ct_px, dfeats_init)
     return d_feats
 
 

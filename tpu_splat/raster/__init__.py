@@ -122,7 +122,7 @@ def rasterize(
             tiles_touched=jnp.where(valid, prep.tiles_touched, 0),
         )
     n_shards = 1 if mesh is None else mesh.shape[mesh_axis]
-    use_pallas = cfg.backend == "pallas" and mesh is None
+    use_pallas = cfg.backend == "pallas"
     binned = bin_gaussians(
         prep, H, W, cfg, pad_tiles_to=n_shards, aligned=use_pallas
     )
@@ -141,6 +141,8 @@ def rasterize(
             bg,
             H,
             W,
+            mesh=mesh,
+            axis=mesh_axis,
         )
         return RasterOutput(
             color=out.color,

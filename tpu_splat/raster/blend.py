@@ -388,6 +388,8 @@ def blend_pallas(
     height: int,
     width: int,
     interpret: bool = False,
+    mesh=None,
+    axis: str = "tiles",
 ) -> BlendOutput:
     """Forward blend via the Pallas tile kernel (tpu_splat.kernels.tile_blend).
 
@@ -416,9 +418,27 @@ def blend_pallas(
             jnp.zeros((T_pad - binned.tile_counts.shape[0],), jnp.int32),
         ]
     )
-    out_px, wmax = tb.blend_kernel(
-        feats, binned.aligned_starts, counts_full, org[:, 0], org[:, 1]
-    )
+    if mesh is None:
+        out_px, wmax = tb.blend_kernel(
+            feats, binned.aligned_starts, counts_full, org[:, 0], org[:, 1]
+        )
+    else:
+        # tile-axis sharding: each chip runs the kernel pair on its tile rows
+        # against replicated instance features; the shard_map transpose
+        # psums d_feats (kernels zero-alias unwritten slots so per-shard
+        # partials combine exactly)
+        def local(f, st, cn, ox, oy):
+            out_px_l, wmax_l = tb.blend_kernel(f, st, cn, ox, oy)
+            return out_px_l, wmax_l[None]
+
+        out_px, wmax_parts = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,  # pallas out_shapes carry no vma annotation
+        )(feats, binned.aligned_starts, counts_full, org[:, 0], org[:, 1])
+        wmax = jnp.max(wmax_parts, axis=0)
 
     img = lambda x: _tiles_to_image(x, tiles_y, tiles_x, height, width)
     Tf = out_px[:, tb.O_T, :]

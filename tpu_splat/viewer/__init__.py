@@ -1,1 +1,1 @@
-from tpu_splat.viewer.network_gui import NetworkGUI, render_net_image
+from tpu_splat.viewer.network_gui import NetworkGUI, render_net_image, RENDER_MODES
