@@ -170,15 +170,30 @@ def load_ply(
 # Training checkpoints
 
 
+_GAUSSIAN_FIELDS = (
+    "xyz", "features_dc", "features_rest", "scaling", "rotation",
+    "opacity", "refl", "alive", "active_sh_degree",
+)
+
+
 def save_checkpoint(path: str, train_state, iteration: int):
     """Flatten the full TrainState into one npz (role of chkpntN.pth,
-    train.py:311-320)."""
+    train.py:311-320). Besides the positional leaves (restored against a
+    template TrainState), the GaussianState's arrays are also saved by field
+    name so render/view can restore a model WITHOUT reconstructing the
+    training pytree (reference render.py --start_checkpoint path)."""
     leaves, treedef = jax.tree.flatten(train_state)
+    g = train_state.gaussians
+    named = {f"g.{f}": np.asarray(getattr(g, f)) for f in _GAUSSIAN_FIELDS}
+    named["g.env.texture"] = np.asarray(g.env.texture)
+    named["g.env.fail_value"] = np.asarray(g.env.fail_value)
+    named["g.max_sh_degree"] = np.asarray(g.max_sh_degree)
     np.savez(
         path,
         __iteration=np.asarray(iteration),
         __n_leaves=np.asarray(len(leaves)),
         **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+        **named,
     )
 
 
@@ -188,3 +203,22 @@ def load_checkpoint(path: str, template_state):
     leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n)]
     treedef = jax.tree.structure(template_state)
     return jax.tree.unflatten(treedef, leaves), int(z["__iteration"])
+
+
+def load_checkpoint_gaussians(path: str) -> tuple[GaussianState, int]:
+    """Restore just the model from a training checkpoint (no optimizer /
+    TrainState template needed) — the render.py/view.py restore path."""
+    z = np.load(path)
+    env = CubemapParams(
+        texture=jnp.asarray(z["g.env.texture"]),
+        fail_value=jnp.asarray(z["g.env.fail_value"]),
+    )
+    state = GaussianState(
+        env=env,
+        max_sh_degree=int(z["g.max_sh_degree"]),
+        **{
+            f: jnp.asarray(z[f"g.{f}"])
+            for f in _GAUSSIAN_FIELDS
+        },
+    )
+    return state, int(z["__iteration"])

@@ -30,6 +30,14 @@ def find_max_iteration(model_path: str) -> int:
     return max(iters)
 
 
+def load_state_from_checkpoint(args):
+    """Restore a GaussianState from a chkpntN.npz (reference render.py's
+    --start_checkpoint path, render.py:80-90)."""
+    from tpu_splat.model.io import load_checkpoint_gaussians
+
+    return load_checkpoint_gaussians(args.start_checkpoint)
+
+
 def render_sets(args):
     import jax.numpy as jnp
 
@@ -41,12 +49,19 @@ def render_sets(args):
 
     model = ModelParams.extract(args).finalize()
     pipe = PipelineParams.extract(args)
-    it = args.iteration if args.iteration > 0 else find_max_iteration(model.model_path)
-    ply = os.path.join(
-        model.model_path, "point_cloud", f"iteration_{it}", "point_cloud.ply"
-    )
-    state = load_ply(ply, max_sh_degree=model.sh_degree)
-    print(f"Loaded {int(np.asarray(state.alive).sum())} Gaussians from {ply}")
+    if getattr(args, "start_checkpoint", None):
+        state, it = load_state_from_checkpoint(args)
+        print(f"Loaded checkpoint {args.start_checkpoint} (iteration {it})")
+    else:
+        it = (
+            args.iteration if args.iteration > 0
+            else find_max_iteration(model.model_path)
+        )
+        ply = os.path.join(
+            model.model_path, "point_cloud", f"iteration_{it}", "point_cloud.ply"
+        )
+        state = load_ply(ply, max_sh_degree=model.sh_degree)
+        print(f"Loaded {int(np.asarray(state.alive).sum())} Gaussians from {ply}")
 
     scene = Scene(
         model.source_path,
@@ -101,6 +116,7 @@ def main(argv=None):
 
     parser = build_parser(fill_none_model=True)
     parser.add_argument("--iteration", type=int, default=-1)
+    parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--skip_train", action="store_true")
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--save_normals", action="store_true")

@@ -29,6 +29,19 @@ def psnr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))
 
 
+def smooth_loss(disp: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
+    """Edge-aware second-order disparity smoothness (reference
+    utils/loss_utils.py:51-58). disp [H,W] or [H,W,1], img [H,W,C],
+    channels-last."""
+    if disp.ndim == 3:
+        disp = disp[..., 0]
+    gx = jnp.abs(disp[1:-1, :-2] + disp[1:-1, 2:] - 2 * disp[1:-1, 1:-1])
+    gy = jnp.abs(disp[:-2, 1:-1] + disp[2:, 1:-1] - 2 * disp[1:-1, 1:-1])
+    ix = jnp.mean(jnp.abs(img[1:-1, :-2] - img[1:-1, 2:]), axis=-1) * 0.5
+    iy = jnp.mean(jnp.abs(img[:-2, 1:-1] - img[2:, 1:-1]), axis=-1) * 0.5
+    return jnp.mean(gx * jnp.exp(-ix)) + jnp.mean(gy * jnp.exp(-iy))
+
+
 def _gaussian_window(size: int, sigma: float) -> jnp.ndarray:
     x = jnp.arange(size, dtype=jnp.float32) - size // 2
     g = jnp.exp(-(x**2) / (2 * sigma**2))
