@@ -1,0 +1,74 @@
+"""Micro-profile of backward-pass scatter costs (dev tool)."""
+from __future__ import annotations
+
+import numpy as np
+from profile_stages import timed
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from bench import build_state
+    from tpu_splat.data import orbit_camera
+    from tpu_splat.raster.config import RasterConfig
+    from tpu_splat.raster.preprocess import preprocess
+    from tpu_splat.raster.binning import bin_gaussians
+    from tpu_splat.kernels.tile_blend import pack_features, F_PAD
+    from tpu_splat.envmap.cubemap import sample_cubemap
+
+    H, W, n, capacity = 1088, 1920, 1_000_000, 1 << 20
+    cfg = RasterConfig(
+        max_tiles_per_gaussian=32, max_instances=1 << 22,
+        tile_depth=2048, chunk=32, backend="pallas",
+    )
+    state = build_state(n, capacity)
+    cam = orbit_camera(H, W, radius=6.0, azimuth=0.4, elevation=0.3)
+    sh = jnp.concatenate([state.features_dc, state.features_rest], axis=1)
+    scales = jnp.exp(state.scaling)
+    opacity = jax.nn.sigmoid(state.opacity[:, 0])
+    refl = jax.nn.sigmoid(state.refl[:, 0])
+    scope = jnp.ones((capacity,), bool)
+
+    prep = jax.jit(
+        lambda xyz, s, r: preprocess(
+            xyz, s, r, cam.world_view, cam.full_proj, cam.camera_center,
+            H, W, sh=sh, sh_degree=3,
+        )
+    )(state.xyz, scales, state.rotation)
+    binned = jax.jit(lambda p: bin_gaussians(p, H, W, cfg, aligned=True))(prep)
+
+    def pack_loss(hom, xy, color, nrm):
+        f = pack_features(
+            binned.aligned_gid, binned.aligned_valid, hom, xy,
+            opacity, nrm, color, refl, scope,
+        )
+        return jnp.sum(f * 1e-8)
+
+    def pack_bwd(hom, xy, color, nrm):
+        return jax.grad(pack_loss, argnums=(0, 1, 2, 3))(hom, xy, color, nrm)
+
+    jax.jit(pack_bwd)(prep.hom, prep.xy, prep.color, prep.normal_view)
+    timed(
+        pack_bwd, (prep.hom, prep.xy, prep.color, prep.normal_view),
+        name="pack_features BWD (scatter-add)",
+    )
+
+    dirs = jax.random.normal(jax.random.PRNGKey(0), (H, W, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    def env_fwd(tex, dirs):
+        return jnp.sum(
+            sample_cubemap(state.env._replace(texture=tex), dirs) * 1e-8
+        )
+
+    def env_bwd(tex, dirs):
+        return jax.grad(env_fwd, argnums=(0, 1))(tex, dirs)
+
+    jax.jit(env_fwd)(state.env.texture, dirs)
+    timed(env_fwd, (state.env.texture, dirs), name="cubemap sample FWD (2M px)")
+    jax.jit(env_bwd)(state.env.texture, dirs)
+    timed(env_bwd, (state.env.texture, dirs), name="cubemap sample BWD (2M px)")
+
+
+if __name__ == "__main__":
+    main()

@@ -11,15 +11,33 @@ import time
 import numpy as np
 
 
-def timed(fn, args, iters=8, name=""):
+def timed(fn, args, iters=6, name=""):
+    """Per-step device time via t(K)-t(1) on a chained fori_loop.
+
+    The accumulator perturbs the FIRST float input each iteration (at 1e-30,
+    numerically invisible) so the body is loop-VARIANT — without this XLA
+    hoists pure stages out of the loop (LICM) and reports ~0 ms."""
     import jax
     import jax.numpy as jnp
 
     def chained(k):
         @jax.jit
         def run(*a):
+            def perturb(x, eps):
+                # float leaves: + eps (1e-30, invisible); int leaves:
+                # + int(eps) (0 at runtime, but not provably so -> defeats LICM)
+                def f(l):
+                    if jnp.issubdtype(l.dtype, jnp.floating):
+                        return l + eps.astype(l.dtype)
+                    if jnp.issubdtype(l.dtype, jnp.integer):
+                        return l + eps.astype(l.dtype)
+                    return l
+
+                return jax.tree.map(f, x)
+
             def body(i, acc):
-                out = fn(*a)
+                a2 = (perturb(a[0], acc * 1e-30),) + a[1:]
+                out = fn(*a2)
                 leaves = jax.tree.leaves(out)
                 s = sum(jnp.sum(l.astype(jnp.float32)) * 1e-20 for l in leaves)
                 return acc + s
@@ -34,7 +52,7 @@ def timed(fn, args, iters=8, name=""):
     t0 = time.perf_counter(); float(run1(*args)); t1 = time.perf_counter() - t0
     t0 = time.perf_counter(); float(runk(*args)); tk = time.perf_counter() - t0
     dt = max(tk - t1, 1e-9) / iters
-    print(f"{name:32s} {dt*1000:9.2f} ms")
+    print(f"{name:32s} {dt*1000:9.2f} ms", flush=True)
     return dt
 
 
@@ -76,6 +94,26 @@ def main():
     refl = jax.nn.sigmoid(state.refl[:, 0])
     scales = jnp.exp(state.scaling)
     sh = jnp.concatenate([state.features_dc, state.features_rest], axis=1)
+
+    import os as _os
+
+    which = _os.environ.get("PROFILE_STAGES", "full,stages").split(",")
+
+    def full_fwd(params):
+        s = state.with_params(params)
+        out = render(s, cam, cfg, bg, initial_stage=False)
+        return jnp.mean(jnp.abs(out.render - gt))
+
+    params = state.param_pytree()
+
+    def full_fwdbwd(params):
+        return jax.value_and_grad(full_fwd)(params)
+
+    if "full" in which:
+        timed(full_fwdbwd, (params,), name="render fwd+bwd (full)")
+        timed(full_fwd, (params,), name="render fwd (full)")
+    if "stages" not in which:
+        return
 
     def stage_prep(xyz, scales, rot):
         return preprocess(
@@ -132,19 +170,6 @@ def main():
         )
 
     timed(stage_raster_fwd, (state.xyz, scales, state.rotation), name="rasterize fwd (full)")
-
-    def full_fwd(params):
-        s = state.with_params(params)
-        out = render(s, cam, cfg, bg, initial_stage=False)
-        return jnp.mean(jnp.abs(out.render - gt))
-
-    params = state.param_pytree()
-    timed(full_fwd, (params,), name="render fwd (full)")
-
-    def full_fwdbwd(params):
-        return jax.value_and_grad(full_fwd)(params)
-
-    timed(full_fwdbwd, (params,), name="render fwd+bwd (full)")
 
 
 if __name__ == "__main__":

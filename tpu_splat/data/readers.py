@@ -65,6 +65,46 @@ def nerfpp_norm(cam_infos) -> tuple[np.ndarray, float]:
     return -center, float(diagonal * 1.1)
 
 
+def finish_image(
+    arr_u8: np.ndarray,
+    resolution: tuple[int, int],
+    alpha_path: str | None = None,
+    rgba: bool = False,
+):
+    """Resize a decoded [H,W,C] uint8 array + split/merge alpha — the
+    post-decode half of load_image, shared with the native prefetch path."""
+    from PIL import Image
+
+    if arr_u8.ndim == 2:
+        arr_u8 = arr_u8[..., None]
+    h, w = arr_u8.shape[:2]
+    if (w, h) != resolution:
+        mode = {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}[arr_u8.shape[-1]]
+        img = Image.fromarray(
+            arr_u8[..., 0] if mode == "L" else arr_u8, mode=mode
+        ).resize(resolution)
+        arr_u8 = np.asarray(img)
+        if arr_u8.ndim == 2:
+            arr_u8 = arr_u8[..., None]
+    arr = arr_u8.astype(np.float32) / 255.0
+    alpha = None
+    if arr.shape[-1] == 1:
+        arr = arr.repeat(3, axis=-1)
+    if arr.shape[-1] == 2:  # gray + alpha
+        alpha = arr[..., 1:2]
+        arr = arr[..., 0:1].repeat(3, axis=-1)
+    if arr.shape[-1] == 4:
+        alpha = arr[..., 3:4]
+        arr = arr[..., :3]
+    if alpha_path is not None and os.path.exists(alpha_path):
+        a = Image.open(alpha_path).resize(resolution)
+        a = np.asarray(a).astype(np.float32) / 255.0
+        if a.ndim == 3:
+            a = a[..., 0]
+        alpha = a[..., None]
+    return np.clip(arr, 0.0, 1.0), alpha
+
+
 def load_image(
     path: str, resolution: tuple[int, int], alpha_path: str | None = None,
     rgba: bool = False

@@ -59,15 +59,28 @@ class Scene:
             rng.shuffle(info.train_cameras)
             rng.shuffle(info.test_cameras)
 
-        self.train_cameras = [
-            self._load(c) for c in info.train_cameras[:load_limit]
-        ]
-        self.test_cameras = [self._load(c) for c in info.test_cameras[:load_limit]]
         self._resolution = resolution
+        self.train_cameras = self._load_set(info.train_cameras[:load_limit])
+        self.test_cameras = self._load_set(info.test_cameras[:load_limit])
 
-    def _load(self, ci) -> LoadedCamera:
-        W, H = resolution_policy(ci.width, ci.height, getattr(self, "_resolution", -1))
-        img, alpha = load_image(ci.image_path, (W, H), ci.alpha_path, ci.rgba)
+    def _load_set(self, cam_infos) -> list:
+        """Decode ahead on the native C++ thread pool (ordered), finish
+        (resize + alpha merge + Camera build) on the main thread; falls back
+        to synchronous PIL when the native lib is unavailable."""
+        from tpu_splat.data.native_loader import PrefetchingImageLoader
+        from tpu_splat.data.readers import finish_image
+
+        out = []
+        loader = PrefetchingImageLoader([c.image_path for c in cam_infos])
+        for idx, arr in loader:
+            ci = cam_infos[idx]
+            W, H = resolution_policy(ci.width, ci.height, self._resolution)
+            img, alpha = finish_image(arr, (W, H), ci.alpha_path, ci.rgba)
+            out.append(self._make_camera(ci, img, alpha))
+        return out
+
+    def _make_camera(self, ci, img, alpha) -> LoadedCamera:
+        W = img.shape[1]
         K = None
         if ci.K is not None:
             K = ci.K.copy()

@@ -136,9 +136,52 @@ def _face_uv(dirs: jnp.ndarray):
     return face, u, v
 
 
+@jax.custom_vjp
+def _flat_gather(tex_flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """tex_flat [M,C], idx [...] -> [...,C], with a sort+segmented-scan
+    transpose instead of XLA's scatter-add (TPU scatters at millions of rows
+    are ~10x slower than sort+scan; cf. kernels.tile_blend.segment_sum_sorted)."""
+    return tex_flat[idx]
+
+
+def _flat_gather_fwd(tex_flat, idx):
+    return tex_flat[idx], (idx, tex_flat.shape[0])
+
+
+def _flat_gather_bwd(res, d_out):
+    idx, M = res
+    flat_idx = idx.reshape(-1).astype(jnp.int32)
+    rows = d_out.reshape(-1, d_out.shape[-1])
+    n = flat_idx.shape[0]
+    idx_sorted, perm = jax.lax.sort(
+        (flat_idx, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    rows_s = rows[perm]
+
+    def combine(a, b):
+        ka, va = a
+        kb, vb = b
+        return kb, jnp.where((ka == kb)[:, None], va + vb, vb)
+
+    _, scanned = jax.lax.associative_scan(combine, (idx_sorted, rows_s))
+    texel_ids = jnp.arange(M, dtype=jnp.int32)
+    start = jnp.searchsorted(idx_sorted, texel_ids, side="left")
+    end = jnp.searchsorted(idx_sorted, texel_ids, side="right")
+    d_tex = jnp.where(
+        (end > start)[:, None], scanned[jnp.clip(end - 1, 0, n - 1)], 0.0
+    )
+    return d_tex, None
+
+
+_flat_gather.defvjp(_flat_gather_fwd, _flat_gather_bwd)
+
+
 def _tex_gather(texture: jnp.ndarray, face, x, y):
     """texture [6,C,L,L]; (face,x,y) [B] -> [B,C]."""
-    return texture[face, :, y, x]
+    L = texture.shape[-1]
+    tex_flat = texture.transpose(0, 2, 3, 1).reshape(-1, texture.shape[1])
+    out = _flat_gather(tex_flat, (face * L + y) * L + x)
+    return out
 
 
 def sample_cubemap(

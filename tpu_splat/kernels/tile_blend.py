@@ -306,6 +306,70 @@ def tile_blend_forward(
     return out_px, wmax[0]
 
 
+def segment_sum_sorted(
+    rows: jnp.ndarray,  # [N, F] values in by-gid rank order
+    gid_sorted: jnp.ndarray,  # [N] nondecreasing segment keys
+    seg_start: jnp.ndarray,  # [P]
+    seg_end: jnp.ndarray,  # [P]
+) -> jnp.ndarray:
+    """Per-segment sums of pre-grouped rows WITHOUT a scatter (TPU scatters
+    are 10-50x slower than sorts/scans at these sizes). A key-reset segmented
+    inclusive scan keeps each running sum local to its segment — unlike a
+    global cumsum + difference, small segments never suffer cancellation
+    against the global prefix. -> [P, F]."""
+
+    def combine(a, b):
+        ka, va = a
+        kb, vb = b
+        return kb, jnp.where((ka == kb)[:, None], va + vb, vb)
+
+    _, scanned = jax.lax.associative_scan(combine, (gid_sorted, rows))
+    n = rows.shape[0]
+    last = jnp.clip(seg_end - 1, 0, n - 1)
+    out = scanned[last]
+    return jnp.where((seg_end > seg_start)[:, None], out, 0.0)
+
+
+def segment_max_sorted(
+    vals: jnp.ndarray,  # [N] values in by-gid rank order
+    gid_sorted: jnp.ndarray,
+    seg_start: jnp.ndarray,
+    seg_end: jnp.ndarray,
+    fill: float = 0.0,
+) -> jnp.ndarray:
+    """Per-segment max of pre-grouped values, same scan trick. -> [P]."""
+
+    def combine(a, b):
+        ka, va = a
+        kb, vb = b
+        return kb, jnp.where(ka == kb, jnp.maximum(va, vb), vb)
+
+    _, scanned = jax.lax.associative_scan(combine, (gid_sorted, vals))
+    n = vals.shape[0]
+    last = jnp.clip(seg_end - 1, 0, n - 1)
+    return jnp.where(seg_end > seg_start, scanned[last], fill)
+
+
+@jax.custom_vjp
+def _expand_rows(g24, gid, valid, gid_perm, gid_sorted, seg_start, seg_end):
+    return jnp.where(valid[:, None], g24[gid], 0.0)  # [N_cap, F]
+
+
+def _expand_rows_fwd(g24, gid, valid, gid_perm, gid_sorted, seg_start, seg_end):
+    out = _expand_rows(g24, gid, valid, gid_perm, gid_sorted, seg_start, seg_end)
+    return out, (valid, gid_perm, gid_sorted, seg_start, seg_end)
+
+
+def _expand_rows_bwd(res, d_out):
+    valid, gid_perm, gid_sorted, seg_start, seg_end = res
+    rows = jnp.where(valid[:, None], d_out, 0.0)[gid_perm]  # by-gid rank order
+    d_g24 = segment_sum_sorted(rows, gid_sorted, seg_start, seg_end)
+    return d_g24, None, None, None, None, None, None
+
+
+_expand_rows.defvjp(_expand_rows_fwd, _expand_rows_bwd)
+
+
 def pack_features(
     sorted_gid: jnp.ndarray,  # [N_cap] (pad slots may hold any id; mask below)
     valid: jnp.ndarray,  # [N_cap] bool
@@ -316,6 +380,10 @@ def pack_features(
     color: jnp.ndarray,
     refl: jnp.ndarray,
     scope_mask: jnp.ndarray,
+    gid_perm: jnp.ndarray | None = None,
+    gid_sorted: jnp.ndarray | None = None,
+    seg_start: jnp.ndarray | None = None,
+    seg_end: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Gather per-Gaussian attrs into the kernel's [F_PAD, N_cap] layout.
 
@@ -323,8 +391,11 @@ def pack_features(
     matrix (cheap, P rows), then gathered by sorted instance id as contiguous
     96-byte rows — orders of magnitude friendlier to the TPU than 24 separate
     element-gathers. Validity masks every row so pad slots (and the backward
-    kernel's never-written d_feats tail) cannot leak gradients into
-    Gaussian 0 through the gather's scatter-add transpose."""
+    kernel's never-written d_feats tail) cannot leak gradients.
+
+    When the binning's by-gid grouping (gid_perm/gid_sorted/seg_*) is given,
+    the gather's transpose is a sort-order segment scan instead of XLA's
+    scatter-add (461 ms -> ~15 ms at 4M instances on a v5e)."""
     P_ = opacity.shape[0]
     g24 = jnp.concatenate(
         [
@@ -339,7 +410,12 @@ def pack_features(
         ],
         axis=1,
     )  # [P, F_PAD]
-    feats = jnp.where(valid[:, None], g24[sorted_gid], 0.0)  # [N_cap, F_PAD]
+    if gid_perm is not None:
+        feats = _expand_rows(
+            g24, sorted_gid, valid, gid_perm, gid_sorted, seg_start, seg_end
+        )
+    else:
+        feats = jnp.where(valid[:, None], g24[sorted_gid], 0.0)  # [N_cap, F]
     return feats.T
 
 

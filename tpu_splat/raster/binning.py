@@ -2,11 +2,23 @@
 
 Replaces the CUDA tile scheduler (rasterizer_impl.cu:70-138,282-313: CUB
 prefix-sum -> duplicateWithKeys -> 64-bit radix sort -> identifyTileRanges)
-with static-shape XLA: a scatter into a fixed-capacity instance buffer and a
-stable multi-key `lax.sort` on (tile, depth). Positive-float radix order ==
-numeric order, and both sorts are stable, so the resulting per-tile
-front-to-back order matches the reference exactly (ties broken by emission
-order = Gaussian index).
+with static-shape XLA built around the ops that are actually fast on TPU:
+
+- `lax.sort` on 4M pairs is ~7 ms on a v5e; big scatters are 50-500 ms.
+  So every stage is formulated as sort/gather/cumsum; the only scatter left
+  is a P-element marker add (the instance -> Gaussian expansion).
+- Expansion ("duplicateWithKeys"): each capacity slot i finds its source
+  Gaussian via a marker-cumsum over the exclusive prefix offsets — the
+  classic scan-based expand — then derives its tile from the Gaussian's rect
+  and the within-rect ordinal. No [P, K] grid, no per-Gaussian tile cap.
+- Per-tile front-to-back order: instances are emitted depth-grouped (the
+  P Gaussians are depth-argsorted first), then ONE stable single-key sort by
+  tile id. Stability preserves emission order within a tile = depth order
+  with ties broken by Gaussian index — identical to the reference's stable
+  radix order (rasterizer_impl.cu:70-111).
+- The Pallas kernel's 128-aligned mutually-exclusive tile ranges are built by
+  GATHER (each aligned slot looks up its source instance via a searchsorted
+  over the [T] aligned starts), not by scattering instances into place.
 """
 from __future__ import annotations
 
@@ -27,9 +39,15 @@ class Binned(NamedTuple):
     tile_counts: jnp.ndarray  # [T] int32 instances per tile (pre-truncation)
     sorted_gid: jnp.ndarray  # [cap] instance-sorted Gaussian ids (pallas path)
     tile_starts: jnp.ndarray  # [T_padded] range start per tile in sorted order
-    aligned_gid: jnp.ndarray | None  # [cap_al] 64-aligned exclusive layout
+    aligned_gid: jnp.ndarray | None  # [cap_al] 128-aligned exclusive layout
     aligned_valid: jnp.ndarray | None  # [cap_al] bool
     aligned_starts: jnp.ndarray | None  # [T_padded]
+    # by-Gaussian grouping of the aligned slots (for scatter-free per-Gaussian
+    # reductions in the backward: sort once here, segment-reduce there)
+    gid_perm: jnp.ndarray | None  # [cap_al] aligned slot at by-gid rank r
+    gid_sorted: jnp.ndarray | None  # [cap_al] gaussian id at rank r (P=invalid)
+    seg_end: jnp.ndarray | None  # [P] exclusive end rank of gaussian g's run
+    seg_start: jnp.ndarray | None  # [P]
 
 
 INSTANCE_ALIGN = 128  # kernels/tile_blend.py CI (lane-tile aligned)
@@ -43,49 +61,42 @@ def bin_gaussians(
     tiles_y, tiles_x = tile_grid(height, width)
     n_tiles = tiles_y * tiles_x
     n_tiles_padded = n_tiles + ((-n_tiles) % pad_tiles_to)
-    P = prep.depth.shape[0]
-    Kg = cfg.max_tiles_per_gaussian
     cap = cfg.max_instances
 
     area = prep.tiles_touched  # [P] int32, 0 for invalid
 
-    # Two-stage sort (cheaper than a 64-bit (tile,depth) radix equivalent):
-    # 1. depth-argsort the P Gaussians once (P << instances);
-    # 2. emit instances in that order, then a SINGLE-key stable sort by tile.
-    # Stability preserves emission order within a tile = front-to-back depth
-    # with ties broken by Gaussian index — identical to the reference's
-    # stable radix order (rasterizer_impl.cu:70-111).
+    # 1. depth-argsort the P Gaussians once (P << instances)
     gkey = jnp.where(prep.valid, prep.depth, jnp.inf)
     gorder = jnp.argsort(gkey, stable=True).astype(jnp.int32)  # [P]
     area_o = area[gorder]
     rect_min_o = prep.rect_min[gorder]
-    rect_max_o = prep.rect_max[gorder]
-    offsets = jnp.cumsum(area_o) - area_o
+    rect_w_o = jnp.maximum(prep.rect_max[gorder][:, 0] - rect_min_o[:, 0], 1)
+    offsets = jnp.cumsum(area_o) - area_o  # exclusive prefix
+    total = jnp.sum(area)
 
-    j = jnp.arange(Kg, dtype=jnp.int32)[None, :]  # [1,Kg]
-    rect_w = (rect_max_o[:, 0] - rect_min_o[:, 0])[:, None]
-    emit = (j < area_o[:, None]) & (j < Kg)
-    safe_w = jnp.maximum(rect_w, 1)
-    tx = rect_min_o[:, 0:1] + j % safe_w
-    ty = rect_min_o[:, 1:2] + j // safe_w
-    tile = ty * tiles_x + tx  # [P,Kg]
+    # 2. scan-based expansion: slot i -> covering Gaussian index gsel(i).
+    # Every Gaussian drops a marker at its start offset; the inclusive count
+    # of markers at slot i minus one indexes the LAST Gaussian whose range
+    # starts at or before i — zero-area Gaussians share their successor's
+    # offset and are skipped by construction.
+    mark = jnp.zeros((cap + 1,), jnp.int32).at[jnp.minimum(offsets, cap)].add(1)
+    gsel = jnp.cumsum(mark[:cap]) - 1  # [cap] index into depth order
+    i = jnp.arange(cap, dtype=jnp.int32)
+    j = i - offsets[gsel]  # within-rect ordinal
+    slot_valid = i < jnp.minimum(total, cap)
 
-    pos = offsets[:, None] + j  # [P,Kg] target slot in instance buffer
-    # Invalid / overflowing entries go to a dump slot (cap) that is sliced off.
-    pos = jnp.where(emit & (pos < cap), pos, cap)
+    rw = rect_w_o[gsel]
+    tx = rect_min_o[gsel, 0] + j % rw
+    ty = rect_min_o[gsel, 1] + j // rw
+    inst_tile = jnp.where(slot_valid, ty * tiles_x + tx, n_tiles)
+    inst_gid = jnp.where(slot_valid, gorder[gsel], 0)
 
-    gid = jnp.broadcast_to(gorder[:, None], (P, Kg))
-    inst_tile = (
-        jnp.full((cap + 1,), n_tiles, dtype=jnp.int32).at[pos.ravel()].set(tile.ravel())
-    )[:cap]
-    inst_gid = (
-        jnp.zeros((cap + 1,), dtype=jnp.int32).at[pos.ravel()].set(gid.ravel())
-    )[:cap]
-
+    # 3. single stable sort by tile id (front-to-back within tiles)
     sorted_tile, sorted_gid = jax.lax.sort(
         (inst_tile, inst_gid), num_keys=1, is_stable=True
     )
 
+    # 4. per-tile ranges
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
@@ -102,32 +113,49 @@ def bin_gaussians(
     tile_mask = k < counts_capped[:, None]
 
     aligned_gid = aligned_valid = aligned_starts = None
+    gid_perm = gid_sorted = seg_end = seg_start = None
     if aligned:
-        # Re-pack sorted instances so each tile's range starts on a
-        # 128-instance boundary and ranges are mutually exclusive (the Pallas
-        # kernel's aligned-DMA / exclusive-store contract).
+        # 5. 128-aligned mutually-exclusive ranges, built by gather: aligned
+        # slot s belongs to tile t = searchsorted(aligned_starts, s) - 1 and
+        # reads sorted slot starts[t] + (s - aligned_starts[t]).
         al = INSTANCE_ALIGN
         aligned_counts = ((counts + al - 1) // al) * al
-        aligned_starts = jnp.cumsum(aligned_counts) - aligned_counts
+        aligned_starts = (jnp.cumsum(aligned_counts) - aligned_counts).astype(
+            jnp.int32
+        )
         cap_al = cap + n_tiles_padded * al
-        i = jnp.arange(cap, dtype=jnp.int32)
-        tile_of = sorted_tile  # [cap]
-        real = tile_of < n_tiles
-        t_idx = jnp.clip(tile_of, 0, n_tiles_padded - 1)
-        new_pos = aligned_starts[t_idx] + (i - starts[t_idx])
-        new_pos = jnp.where(real, new_pos, cap_al)
-        aligned_gid = (
-            jnp.zeros((cap_al + 1,), jnp.int32).at[new_pos].set(sorted_gid)
-        )[:cap_al]
-        aligned_valid = (
-            jnp.zeros((cap_al + 1,), bool).at[new_pos].set(real)
-        )[:cap_al]
+        s = jnp.arange(cap_al, dtype=jnp.int32)
+        t = (
+            jnp.searchsorted(aligned_starts, s, side="right").astype(jnp.int32)
+            - 1
+        )
+        t = jnp.clip(t, 0, n_tiles_padded - 1)
+        o = s - aligned_starts[t]
+        src = starts[t] + o
+        aligned_valid = o < counts[t]
+        aligned_gid = jnp.where(
+            aligned_valid, sorted_gid[jnp.clip(src, 0, cap - 1)], 0
+        )
 
-    num_instances = jnp.sum(area)
+        # group aligned slots by gaussian id (invalid slots keyed P, at the
+        # end); downstream segment reductions replace scatter-adds
+        P_ = prep.depth.shape[0]
+        key = jnp.where(aligned_valid, aligned_gid, P_)
+        gid_sorted, gid_perm = jax.lax.sort(
+            (key, s), num_keys=1, is_stable=True
+        )
+        gids = jnp.arange(P_, dtype=jnp.int32)
+        seg_start = jnp.searchsorted(gid_sorted, gids, side="left").astype(
+            jnp.int32
+        )
+        seg_end = jnp.searchsorted(gid_sorted, gids, side="right").astype(
+            jnp.int32
+        )
+
     return Binned(
         tile_gid=tile_gid,
         tile_mask=tile_mask,
-        num_instances=num_instances,
+        num_instances=total,
         max_area=jnp.max(area),
         tile_counts=counts[:n_tiles],
         sorted_gid=sorted_gid,
@@ -135,4 +163,8 @@ def bin_gaussians(
         aligned_gid=aligned_gid,
         aligned_valid=aligned_valid,
         aligned_starts=aligned_starts,
+        gid_perm=gid_perm,
+        gid_sorted=gid_sorted,
+        seg_end=seg_end,
+        seg_start=seg_start,
     )

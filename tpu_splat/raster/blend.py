@@ -405,6 +405,8 @@ def blend_pallas(
     feats = tb.pack_features(
         binned.aligned_gid, binned.aligned_valid,
         hom, xy, opacity, normal_view, color, refl, scope_mask,
+        gid_perm=binned.gid_perm, gid_sorted=binned.gid_sorted,
+        seg_start=binned.seg_start, seg_end=binned.seg_end,
     )
     T_pad = binned.aligned_starts.shape[0]
     org = tile_origins(height, width, pad_tiles_to=1)
@@ -457,11 +459,9 @@ def blend_pallas(
         ],
         axis=-1,
     )
-    P_ = opacity.shape[0]
-    gw = (
-        jnp.zeros((P_,), jnp.float32)
-        .at[binned.aligned_gid]
-        .max(jnp.where(binned.aligned_valid, wmax, 0.0))
+    wmax_by_gid = jnp.where(binned.aligned_valid, wmax, 0.0)[binned.gid_perm]
+    gw = tb.segment_max_sorted(
+        wmax_by_gid, binned.gid_sorted, binned.seg_start, binned.seg_end
     )
     return BlendOutput(
         color=color_img,

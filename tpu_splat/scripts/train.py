@@ -111,6 +111,17 @@ def training(args, argv_namespace=None):
         )
     )
 
+    from tpu_splat.train.report import TrainReporter
+
+    reporter = TrainReporter(model.model_path, enable_tb=not args.quiet)
+    eval_cfg = RasterConfig(
+        max_tiles_per_gaussian=args.max_tiles_per_gaussian,
+        max_instances=args.max_instances,
+        tile_depth=args.tile_depth,
+        depth_ratio=pipe.depth_ratio,
+    )
+    bg_list = [1.0, 1.0, 1.0] if model.white_background else [0.0, 0.0, 0.0]
+
     cams = scene.train_cameras
     order = []
     rng = random.Random(0)
@@ -157,6 +168,23 @@ def training(args, argv_namespace=None):
             log=log,
         )
 
+        if iteration % 100 == 0:
+            reporter.scalars(
+                iteration,
+                {
+                    "train_loss_patches/total_loss": float(aux.loss),
+                    "train_loss_patches/l1_loss": float(aux.l1),
+                    "train_loss_patches/normal_loss": float(aux.normal_loss),
+                    "total_points": int(aux.n_alive),
+                },
+            )
+        if iteration in args.test_iterations:
+            reporter.evaluate(
+                iteration, ts.gaussians, eval_cfg, bg_list,
+                scene.test_cameras, scene.train_cameras,
+            )
+            reporter.model_stats(iteration, ts.gaussians)
+
         if iteration in args.save_iterations:
             print(f"[ITER {iteration}] Saving Gaussians")
             scene.save(ts.gaussians, iteration)
@@ -188,10 +216,14 @@ def main(argv=None):
     parser.add_argument("--max_instances", type=int, default=1 << 20)
     parser.add_argument("--tile_depth", type=int, default=1024)
     parser.add_argument("--quiet", "-q", action="store_true")
+    parser.add_argument("--auto_test", action="store_true",
+                        help="test every 5000 iterations (reference train.py:515-516)")
     args = parser.parse_args(argv)
     args.save_iterations = list(args.save_iterations)
     if args.iterations_override:
         args.iterations = args.iterations_override
+    if args.auto_test:
+        args.test_iterations = list(range(5000, args.iterations + 1, 5000))
     if args.iterations not in args.save_iterations:
         args.save_iterations.append(args.iterations)
     training(args, argv_namespace=args)
