@@ -46,22 +46,22 @@ def main():
     binned = jax.jit(stage_bin)(prep)
     timed(stage_bin, (prep,), iters=4, name="NEW binning (scan expand)")
 
-    def pack_loss(hom, xy, color, nrm):
+    def pack_loss(hom, xy, color, nrm, b):
         f = pack_features(
-            binned.aligned_gid, binned.aligned_valid, hom, xy,
+            b.aligned_gid, b.aligned_valid, hom, xy,
             opacity, nrm, color, refl, scope,
-            gid_perm=binned.gid_perm, gid_sorted=binned.gid_sorted,
-            seg_start=binned.seg_start, seg_end=binned.seg_end,
+            gid_perm=b.gid_perm, gid_sorted=b.gid_sorted,
+            seg_start=b.seg_start, seg_end=b.seg_end,
         )
         return jnp.sum(f * 1e-8)
 
-    def pack_bwd(hom, xy, color, nrm):
-        return jax.grad(pack_loss, argnums=(0, 1, 2, 3))(hom, xy, color, nrm)
+    def pack_bwd(hom, xy, color, nrm, b):
+        return jax.grad(pack_loss, argnums=(0, 1, 2, 3))(hom, xy, color, nrm, b)
 
-    jax.jit(pack_bwd)(prep.hom, prep.xy, prep.color, prep.normal_view)
+    jax.jit(pack_bwd)(prep.hom, prep.xy, prep.color, prep.normal_view, binned)
     timed(
-        pack_bwd, (prep.hom, prep.xy, prep.color, prep.normal_view),
-        iters=4, name="NEW pack_features BWD (scan)",
+        pack_bwd, (prep.hom, prep.xy, prep.color, prep.normal_view, binned),
+        iters=4, name="NEW pack_features BWD (segsum)",
     )
 
     dirs = jax.random.normal(jax.random.PRNGKey(0), (H, W, 3))

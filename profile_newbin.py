@@ -134,7 +134,7 @@ def main():
 
     def stage_segsum(d_rows, gid_perm, gid_sorted, seg_start, seg_end):
         rows = d_rows[gid_perm]
-        return segment_sum_sorted(rows, gid_sorted, seg_start, seg_end)
+        return segment_sum_sorted(rows, seg_start, seg_end)
 
     jax.jit(stage_segsum)(d_rows, gid_perm, gid_sorted, seg_start, seg_end)
     timed(stage_segsum, (d_rows, gid_perm, gid_sorted, seg_start, seg_end),

@@ -49,7 +49,7 @@ def test_cli_train_render_metrics(tmp_path):
 
     train_cli.main(
         [
-            "-s", src, "-m", out, "--eval",
+            "-s", src, "-m", out, "--eval", "--disable_viewer",
             "--iterations_override", "30",
             "--num_points", "300",
             "--init_until_iter", "5",

@@ -149,6 +149,8 @@ def _flat_gather_fwd(tex_flat, idx):
 
 
 def _flat_gather_bwd(res, d_out):
+    from tpu_splat.core.segops import segment_sum_sorted
+
     idx, M = res
     flat_idx = idx.reshape(-1).astype(jnp.int32)
     rows = d_out.reshape(-1, d_out.shape[-1])
@@ -157,19 +159,14 @@ def _flat_gather_bwd(res, d_out):
         (flat_idx, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
     )
     rows_s = rows[perm]
-
-    def combine(a, b):
-        ka, va = a
-        kb, vb = b
-        return kb, jnp.where((ka == kb)[:, None], va + vb, vb)
-
-    _, scanned = jax.lax.associative_scan(combine, (idx_sorted, rows_s))
     texel_ids = jnp.arange(M, dtype=jnp.int32)
-    start = jnp.searchsorted(idx_sorted, texel_ids, side="left")
-    end = jnp.searchsorted(idx_sorted, texel_ids, side="right")
-    d_tex = jnp.where(
-        (end > start)[:, None], scanned[jnp.clip(end - 1, 0, n - 1)], 0.0
-    )
+    start = jnp.searchsorted(
+        idx_sorted, texel_ids, side="left", method="sort"
+    ).astype(jnp.int32)
+    end = jnp.searchsorted(
+        idx_sorted, texel_ids, side="right", method="sort"
+    ).astype(jnp.int32)
+    d_tex = segment_sum_sorted(rows_s, start, end)
     return d_tex, None
 
 

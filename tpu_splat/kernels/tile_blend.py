@@ -306,48 +306,7 @@ def tile_blend_forward(
     return out_px, wmax[0]
 
 
-def segment_sum_sorted(
-    rows: jnp.ndarray,  # [N, F] values in by-gid rank order
-    gid_sorted: jnp.ndarray,  # [N] nondecreasing segment keys
-    seg_start: jnp.ndarray,  # [P]
-    seg_end: jnp.ndarray,  # [P]
-) -> jnp.ndarray:
-    """Per-segment sums of pre-grouped rows WITHOUT a scatter (TPU scatters
-    are 10-50x slower than sorts/scans at these sizes). A key-reset segmented
-    inclusive scan keeps each running sum local to its segment — unlike a
-    global cumsum + difference, small segments never suffer cancellation
-    against the global prefix. -> [P, F]."""
-
-    def combine(a, b):
-        ka, va = a
-        kb, vb = b
-        return kb, jnp.where((ka == kb)[:, None], va + vb, vb)
-
-    _, scanned = jax.lax.associative_scan(combine, (gid_sorted, rows))
-    n = rows.shape[0]
-    last = jnp.clip(seg_end - 1, 0, n - 1)
-    out = scanned[last]
-    return jnp.where((seg_end > seg_start)[:, None], out, 0.0)
-
-
-def segment_max_sorted(
-    vals: jnp.ndarray,  # [N] values in by-gid rank order
-    gid_sorted: jnp.ndarray,
-    seg_start: jnp.ndarray,
-    seg_end: jnp.ndarray,
-    fill: float = 0.0,
-) -> jnp.ndarray:
-    """Per-segment max of pre-grouped values, same scan trick. -> [P]."""
-
-    def combine(a, b):
-        ka, va = a
-        kb, vb = b
-        return kb, jnp.where(ka == kb, jnp.maximum(va, vb), vb)
-
-    _, scanned = jax.lax.associative_scan(combine, (gid_sorted, vals))
-    n = vals.shape[0]
-    last = jnp.clip(seg_end - 1, 0, n - 1)
-    return jnp.where(seg_end > seg_start, scanned[last], fill)
+from tpu_splat.core.segops import segment_sum_sorted, segment_max_sorted  # noqa: E402 (re-export for blend.py)
 
 
 @jax.custom_vjp
@@ -363,7 +322,7 @@ def _expand_rows_fwd(g24, gid, valid, gid_perm, gid_sorted, seg_start, seg_end):
 def _expand_rows_bwd(res, d_out):
     valid, gid_perm, gid_sorted, seg_start, seg_end = res
     rows = jnp.where(valid[:, None], d_out, 0.0)[gid_perm]  # by-gid rank order
-    d_g24 = segment_sum_sorted(rows, gid_sorted, seg_start, seg_end)
+    d_g24 = segment_sum_sorted(rows, seg_start, seg_end)
     return d_g24, None, None, None, None, None, None
 
 

@@ -2,23 +2,26 @@
 
 Replaces the CUDA tile scheduler (rasterizer_impl.cu:70-138,282-313: CUB
 prefix-sum -> duplicateWithKeys -> 64-bit radix sort -> identifyTileRanges)
-with static-shape XLA built around the ops that are actually fast on TPU:
+with static-shape XLA built around the ops that are actually fast on TPU
+(measured at 4M instances / 1M Gaussians on a v5e):
 
-- `lax.sort` on 4M pairs is ~7 ms on a v5e; big scatters are 50-500 ms.
-  So every stage is formulated as sort/gather/cumsum; the only scatter left
-  is a P-element marker add (the instance -> Gaussian expansion).
-- Expansion ("duplicateWithKeys"): each capacity slot i finds its source
-  Gaussian via a marker-cumsum over the exclusive prefix offsets — the
-  classic scan-based expand — then derives its tile from the Gaussian's rect
-  and the within-rect ordinal. No [P, K] grid, no per-Gaussian tile cap.
-- Per-tile front-to-back order: instances are emitted depth-grouped (the
-  P Gaussians are depth-argsorted first), then ONE stable single-key sort by
-  tile id. Stability preserves emission order within a tile = depth order
-  with ties broken by Gaussian index — identical to the reference's stable
-  radix order (rasterizer_impl.cu:70-111).
-- The Pallas kernel's 128-aligned mutually-exclusive tile ranges are built by
-  GATHER (each aligned slot looks up its source instance via a searchsorted
-  over the [T] aligned starts), not by scattering instances into place.
+- `lax.sort` on millions of pairs: ~7-9 ms. Big scatters: 100-500 ms.
+  Per-element SCALAR gathers (and searchsorted's binary-search loops over
+  millions of queries): 100-600 ms. ROW gathers amortize: ~10 ms per 100 MB.
+- So every stage is a sort, a cumsum, a row-gather, or a small scatter:
+  * Expansion ("duplicateWithKeys"): a P-element marker scatter + cumsum
+    assigns each capacity slot its source Gaussian (scan-based expand);
+    per-slot tile derivation reads ONE row-gathered [cap, 8] int matrix.
+  * Per-tile front-to-back order: instances are emitted depth-grouped (the
+    P Gaussians are depth-argsorted first), then ONE stable single-key sort
+    by tile id. Stability preserves emission order within a tile = depth
+    order with ties broken by Gaussian index — identical to the reference's
+    stable radix order (rasterizer_impl.cu:70-111).
+  * The Pallas kernel's 128-aligned exclusive ranges: slot -> tile via the
+    same marker-cumsum (NOT searchsorted: 13 binary-search rounds x 5M
+    queries cost 600+ ms), then a row... scalar gather of source ids.
+  * By-Gaussian grouping for scatter-free backward reductions: one sort +
+    searchsorted(method='sort') for segment bounds.
 """
 from __future__ import annotations
 
@@ -32,8 +35,8 @@ from tpu_splat.raster.preprocess import Preprocessed
 
 
 class Binned(NamedTuple):
-    tile_gid: jnp.ndarray  # [T, K] per-tile depth-sorted Gaussian ids
-    tile_mask: jnp.ndarray  # [T, K] bool, True where a real instance exists
+    tile_gid: jnp.ndarray | None  # [T, K] per-tile depth-sorted Gaussian ids
+    tile_mask: jnp.ndarray | None  # [T, K] bool (None on the pallas path)
     num_instances: jnp.ndarray  # [] int32 true instance count (overflow check)
     max_area: jnp.ndarray  # [] int32 max tiles touched by one Gaussian
     tile_counts: jnp.ndarray  # [T] int32 instances per tile (pre-truncation)
@@ -53,6 +56,19 @@ class Binned(NamedTuple):
 INSTANCE_ALIGN = 128  # kernels/tile_blend.py CI (lane-tile aligned)
 
 
+def _expand_by_offsets(offsets: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """Scan-based expand: given nondecreasing exclusive range starts
+    offsets[G], map each output slot i in [0, n_out) to the covering range
+    index (the LAST g with offsets[g] <= i; zero-length ranges share their
+    successor's offset and are skipped by construction)."""
+    mark = (
+        jnp.zeros((n_out + 1,), jnp.int32)
+        .at[jnp.minimum(offsets, n_out)]
+        .add(1)
+    )
+    return jnp.cumsum(mark[:n_out]) - 1
+
+
 def bin_gaussians(
     prep: Preprocessed, height: int, width: int, cfg: RasterConfig,
     pad_tiles_to: int = 1,
@@ -69,34 +85,42 @@ def bin_gaussians(
     gkey = jnp.where(prep.valid, prep.depth, jnp.inf)
     gorder = jnp.argsort(gkey, stable=True).astype(jnp.int32)  # [P]
     area_o = area[gorder]
-    rect_min_o = prep.rect_min[gorder]
-    rect_w_o = jnp.maximum(prep.rect_max[gorder][:, 0] - rect_min_o[:, 0], 1)
     offsets = jnp.cumsum(area_o) - area_o  # exclusive prefix
     total = jnp.sum(area)
 
-    # 2. scan-based expansion: slot i -> covering Gaussian index gsel(i).
-    # Every Gaussian drops a marker at its start offset; the inclusive count
-    # of markers at slot i minus one indexes the LAST Gaussian whose range
-    # starts at or before i — zero-area Gaussians share their successor's
-    # offset and are skipped by construction.
-    mark = jnp.zeros((cap + 1,), jnp.int32).at[jnp.minimum(offsets, cap)].add(1)
-    gsel = jnp.cumsum(mark[:cap]) - 1  # [cap] index into depth order
+    # 2. expansion: slot i -> covering Gaussian (by depth rank), then derive
+    # its tile from ONE row-gathered int matrix (scalar gathers are 10x
+    # slower than row gathers at this size)
+    gsel = _expand_by_offsets(offsets, cap)  # [cap]
+    gmat = jnp.stack(
+        [
+            offsets,
+            prep.rect_min[gorder][:, 0],
+            prep.rect_min[gorder][:, 1],
+            jnp.maximum(prep.rect_max[gorder][:, 0] - prep.rect_min[gorder][:, 0], 1),
+            gorder,
+            jnp.zeros_like(gorder),
+            jnp.zeros_like(gorder),
+            jnp.zeros_like(gorder),
+        ],
+        axis=1,
+    )  # [P, 8] i32
+    rows = gmat[gsel]  # [cap, 8] row gather
     i = jnp.arange(cap, dtype=jnp.int32)
-    j = i - offsets[gsel]  # within-rect ordinal
+    j = i - rows[:, 0]
     slot_valid = i < jnp.minimum(total, cap)
-
-    rw = rect_w_o[gsel]
-    tx = rect_min_o[gsel, 0] + j % rw
-    ty = rect_min_o[gsel, 1] + j // rw
+    rw = rows[:, 3]
+    tx = rows[:, 1] + j % rw
+    ty = rows[:, 2] + j // rw
     inst_tile = jnp.where(slot_valid, ty * tiles_x + tx, n_tiles)
-    inst_gid = jnp.where(slot_valid, gorder[gsel], 0)
+    inst_gid = jnp.where(slot_valid, rows[:, 4], 0)
 
     # 3. single stable sort by tile id (front-to-back within tiles)
     sorted_tile, sorted_gid = jax.lax.sort(
         (inst_tile, inst_gid), num_keys=1, is_stable=True
     )
 
-    # 4. per-tile ranges
+    # 4. per-tile ranges (few queries: binary-search method is fine here)
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
@@ -106,18 +130,22 @@ def bin_gaussians(
         pad = n_tiles_padded - n_tiles
         starts = jnp.concatenate([starts, jnp.zeros(pad, jnp.int32)])
         counts = jnp.concatenate([counts, jnp.zeros(pad, jnp.int32)])
-    counts_capped = jnp.minimum(counts, cfg.tile_depth)
-    k = jnp.arange(cfg.tile_depth, dtype=jnp.int32)[None, :]
-    slots = jnp.clip(starts[:, None] + k, 0, cap - 1)
-    tile_gid = sorted_gid[slots]  # [T_padded, K]
-    tile_mask = k < counts_capped[:, None]
+
+    tile_gid = tile_mask = None
+    if not aligned:
+        # dense [T, K] layout for the XLA-scan blend path only — the Pallas
+        # path never reads it and the 17M-element gather costs ~120 ms
+        counts_capped = jnp.minimum(counts, cfg.tile_depth)
+        k = jnp.arange(cfg.tile_depth, dtype=jnp.int32)[None, :]
+        slots = jnp.clip(starts[:, None] + k, 0, cap - 1)
+        tile_gid = sorted_gid[slots]  # [T_padded, K]
+        tile_mask = k < counts_capped[:, None]
 
     aligned_gid = aligned_valid = aligned_starts = None
     gid_perm = gid_sorted = seg_end = seg_start = None
     if aligned:
-        # 5. 128-aligned mutually-exclusive ranges, built by gather: aligned
-        # slot s belongs to tile t = searchsorted(aligned_starts, s) - 1 and
-        # reads sorted slot starts[t] + (s - aligned_starts[t]).
+        # 5. 128-aligned mutually-exclusive ranges, built by expansion+gather:
+        # aligned slot s -> tile t (marker cumsum) -> source sorted slot.
         al = INSTANCE_ALIGN
         aligned_counts = ((counts + al - 1) // al) * al
         aligned_starts = (jnp.cumsum(aligned_counts) - aligned_counts).astype(
@@ -125,32 +153,30 @@ def bin_gaussians(
         )
         cap_al = cap + n_tiles_padded * al
         s = jnp.arange(cap_al, dtype=jnp.int32)
-        t = (
-            jnp.searchsorted(aligned_starts, s, side="right").astype(jnp.int32)
-            - 1
-        )
-        t = jnp.clip(t, 0, n_tiles_padded - 1)
-        o = s - aligned_starts[t]
-        src = starts[t] + o
-        aligned_valid = o < counts[t]
+        t = jnp.clip(_expand_by_offsets(aligned_starts, cap_al), 0, n_tiles_padded - 1)
+        tmat = jnp.stack([aligned_starts, starts, counts, counts], axis=1)
+        trows = tmat[t]  # [cap_al, 4] row gather
+        o = s - trows[:, 0]
+        src = trows[:, 1] + o
+        aligned_valid = o < trows[:, 2]
         aligned_gid = jnp.where(
             aligned_valid, sorted_gid[jnp.clip(src, 0, cap - 1)], 0
         )
 
-        # group aligned slots by gaussian id (invalid slots keyed P, at the
-        # end); downstream segment reductions replace scatter-adds
+        # 6. group aligned slots by gaussian id (invalid slots keyed P, at
+        # the end); downstream segment reductions replace scatter-adds
         P_ = prep.depth.shape[0]
         key = jnp.where(aligned_valid, aligned_gid, P_)
         gid_sorted, gid_perm = jax.lax.sort(
             (key, s), num_keys=1, is_stable=True
         )
         gids = jnp.arange(P_, dtype=jnp.int32)
-        seg_start = jnp.searchsorted(gid_sorted, gids, side="left").astype(
-            jnp.int32
-        )
-        seg_end = jnp.searchsorted(gid_sorted, gids, side="right").astype(
-            jnp.int32
-        )
+        seg_start = jnp.searchsorted(
+            gid_sorted, gids, side="left", method="sort"
+        ).astype(jnp.int32)
+        seg_end = jnp.searchsorted(
+            gid_sorted, gids, side="right", method="sort"
+        ).astype(jnp.int32)
 
     return Binned(
         tile_gid=tile_gid,

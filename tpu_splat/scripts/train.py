@@ -114,6 +114,15 @@ def training(args, argv_namespace=None):
     from tpu_splat.train.report import TrainReporter
 
     reporter = TrainReporter(model.model_path, enable_tb=not args.quiet)
+
+    gui = None
+    if not args.disable_viewer:
+        try:
+            from tpu_splat.viewer import NetworkGUI
+
+            gui = NetworkGUI(args.ip, args.port)
+        except OSError as e:
+            print(f"viewer disabled (cannot bind {args.ip}:{args.port}: {e})")
     eval_cfg = RasterConfig(
         max_tiles_per_gaussian=args.max_tiles_per_gaussian,
         max_instances=args.max_instances,
@@ -185,6 +194,11 @@ def training(args, argv_namespace=None):
             )
             reporter.model_stats(iteration, ts.gaussians)
 
+        if gui is not None:
+            _service_viewer(
+                gui, ts.gaussians, eval_cfg, bg, model.source_path, iteration
+            )
+
         if iteration in args.save_iterations:
             print(f"[ITER {iteration}] Saving Gaussians")
             scene.save(ts.gaussians, iteration)
@@ -196,11 +210,55 @@ def training(args, argv_namespace=None):
                 iteration,
             )
 
+    if gui is not None:
+        gui.close()
+    reporter.close()
     scene.save(ts.gaussians, opt.iterations)
     dt_min = (time.time() - t_start) / 60
     print(f"Training complete in {dt_min:.1f} min; events: {len(log.events)}, "
           f"densified {log.densified}, pruned {log.pruned}, overflow {log.overflowed}")
     return ts
+
+
+def _service_viewer(gui, state, cfg, bg, source_path, iteration):
+    """Answer one pending viewer request per iteration (non-blocking accept;
+    reference train.py:322-349)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpu_splat.core.graphics import Camera
+    from tpu_splat.renderer import render_fast
+    from tpu_splat.viewer import RENDER_MODES, render_net_image
+
+    if gui.conn is None:
+        gui.try_connect()
+        if gui.conn is None:
+            return
+    try:
+        cam_dict, _train, keep_alive, scale_mod, mode = gui.receive()
+        if cam_dict is None:
+            gui.send(None, source_path, {"it": iteration})
+            return
+        wv = np.asarray(cam_dict["world_view"])
+        cam = Camera(
+            world_view=jnp.asarray(wv),
+            proj=jnp.eye(4),
+            full_proj=jnp.asarray(cam_dict["full_proj"]),
+            camera_center=jnp.asarray(np.linalg.inv(wv)[:3, 3]),
+            K=jnp.eye(3),
+            height=cam_dict["height"],
+            width=cam_dict["width"],
+            fovx=cam_dict["fovx"],
+            fovy=cam_dict["fovy"],
+        )
+        out = render_fast(state, cam, cfg, bg, scaling_modifier=scale_mod)
+        img = render_net_image(out, RENDER_MODES[mode])
+        gui.send(img, source_path, {"it": iteration})
+        if not keep_alive:
+            gui.conn.close()
+            gui.conn = None
+    except (ConnectionError, OSError):
+        gui.conn = None
 
 
 def main(argv=None):
@@ -216,6 +274,9 @@ def main(argv=None):
     parser.add_argument("--max_instances", type=int, default=1 << 20)
     parser.add_argument("--tile_depth", type=int, default=1024)
     parser.add_argument("--quiet", "-q", action="store_true")
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--disable_viewer", action="store_true")
     parser.add_argument("--auto_test", action="store_true",
                         help="test every 5000 iterations (reference train.py:515-516)")
     args = parser.parse_args(argv)
