@@ -118,33 +118,51 @@ def _tile_blend_kernel(
 
     state[:] = jnp.zeros((24, L), jnp.float32)
     state[O_T, :] = jnp.ones((L,), jnp.float32)
-    wbuf[:] = jnp.zeros((8, CI), jnp.float32)
+    wbuf[:] = jnp.zeros((2, 8, CI), jnp.float32)
 
     n_chunks = pl.cdiv(count, CI)
     row_i = jax.lax.broadcasted_iota(jnp.int32, (CI, 1), 0)
 
-    def store_wmax(base, wmax_ci):
+    def feat_dma(ci, slot):
+        base = pl.multiple_of(start + ci * CI, CI)
+        return pltpu.make_async_copy(
+            feats_ref.at[:, pl.ds(base, CI)], fbuf.at[slot], dma_sem.at[slot]
+        )
+
+    @pl.when(n_chunks > 0)
+    def _prefetch_first():
+        feat_dma(0, 0).start()
+
+    def store_wmax(ci, base, wmax_ci):
         # Mosaic requires full-tile (8,128) slab stores into tiled HBM refs,
         # so wmax rides in row 0 of an [8, CI] slab (rows 1..7 zero).
+        # Double-buffered: wait for the copy issued 2 chunks ago on this
+        # slot before refilling it.
+        slot = ci % 2
         base = pl.multiple_of(base, CI)
-        wbuf[0, :] = wmax_ci
         copy = pltpu.make_async_copy(
-            wbuf, wmax_ref.at[:, pl.ds(base, CI)], w_sem
+            wbuf.at[slot], wmax_ref.at[:, pl.ds(base, CI)], w_sem.at[slot]
         )
+
+        @pl.when(ci >= 2)
+        def _wait_prev():
+            copy.wait()  # same slot, same sem: retires the ci-2 copy
+
+        wbuf[slot, 0, :] = wmax_ci
         copy.start()
-        copy.wait()
 
     def chunk_body(carry):
         ci, _ = carry
+        slot = ci % 2
         base = pl.multiple_of(start + ci * CI, CI)
-        dma = pltpu.make_async_copy(
-            feats_ref.at[:, pl.ds(base, CI)], fbuf, dma_sem
-        )
-        dma.start()
-        dma.wait()
+        feat_dma(ci, slot).wait()
+
+        @pl.when(ci + 1 < n_chunks)
+        def _prefetch_next():
+            feat_dma(ci + 1, (ci + 1) % 2).start()
 
         def row(i):
-            return fbuf[i, :].reshape(CI, 1)  # [CI,1] broadcast over lanes
+            return fbuf[slot, i, :].reshape(CI, 1)  # [CI,1] broadcast over lanes
 
         tw0, tw1, tw2 = row(F_TW), row(F_TW + 1), row(F_TW + 2)
         tu0, tu1, tu2 = row(F_TU), row(F_TU + 1), row(F_TU + 2)
@@ -242,7 +260,7 @@ def _tile_blend_kernel(
         state[O_T, :] = T_new.reshape(L)
         state[S_DONE, :] = done_new.astype(jnp.float32).reshape(L)
 
-        store_wmax(base, jnp.max(jnp.where(valid, w, 0.0), axis=1))
+        store_wmax(ci, base, jnp.max(jnp.where(valid, w, 0.0), axis=1))
 
         all_done = jnp.min(done_new.astype(jnp.float32)) > 0.5
         return ci + 1, all_done
@@ -251,8 +269,32 @@ def _tile_blend_kernel(
         ci, all_done = carry
         return (ci < n_chunks) & ~all_done
 
-    jax.lax.while_loop(cond, chunk_body, (jnp.int32(0), jnp.bool_(False)))
+    ci_f, _done_f = jax.lax.while_loop(
+        cond, chunk_body, (jnp.int32(0), jnp.bool_(False))
+    )
     # (skipped chunks need no zero-fill: wmax is aliased to a zeros input)
+
+    # retire outstanding copies so the next grid program's semaphores are
+    # clean: the early-exit path leaves the ci_f feature prefetch in flight,
+    # and the last <=2 wmax stores are always in flight.
+    @pl.when(ci_f < n_chunks)
+    def _drain_feat():
+        feat_dma(ci_f, ci_f % 2).wait()
+
+    def _wdrain(ci):
+        return pltpu.make_async_copy(
+            wbuf.at[ci % 2],
+            wmax_ref.at[:, pl.ds(pl.multiple_of(start, CI), CI)],
+            w_sem.at[ci % 2],
+        ).wait()
+
+    @pl.when(ci_f >= 1)
+    def _drain_w1():
+        _wdrain(ci_f - 1)
+
+    @pl.when(ci_f >= 2)
+    def _drain_w2():
+        _wdrain(ci_f - 2)
 
     out_px_ref[0, :, :] = state[0:16, :]
 
@@ -283,10 +325,10 @@ def tile_blend_forward(
         ],
         scratch_shapes=[
             pltpu.VMEM((24, L), jnp.float32),
-            pltpu.VMEM((F_PAD, CI), jnp.float32),
-            pltpu.VMEM((8, CI), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, F_PAD, CI), jnp.float32),
+            pltpu.VMEM((2, 8, CI), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     # wmax is aliased to a zero input: under tile sharding each shard only
@@ -467,25 +509,42 @@ def _tile_blend_bwd_kernel(
 
     row_i = jax.lax.broadcasted_iota(jnp.int32, (CI, 1), 0)
 
-    def store_grads(base):
-        base = pl.multiple_of(base, CI)
-        copy = pltpu.make_async_copy(
-            gbuf, dfeats_ref.at[:, pl.ds(base, CI)], g_sem
+    def feat_dma(ci_rev, slot):
+        ci = used_chunks - 1 - ci_rev
+        base = pl.multiple_of(start + ci * CI, CI)
+        return pltpu.make_async_copy(
+            feats_ref.at[:, pl.ds(base, CI)], fbuf.at[slot], dma_sem.at[slot]
         )
-        copy.start()
-        copy.wait()
+
+    @pl.when(used_chunks > 0)
+    def _prefetch_first():
+        feat_dma(0, 0).start()
+
+    def grad_copy(ci_rev, base):
+        base = pl.multiple_of(base, CI)
+        slot = ci_rev % 2
+        return pltpu.make_async_copy(
+            gbuf.at[slot], dfeats_ref.at[:, pl.ds(base, CI)], g_sem.at[slot]
+        )
 
     def chunk_body(ci_rev, _):
         ci = used_chunks - 1 - ci_rev
+        slot = ci_rev % 2
         base = pl.multiple_of(start + ci * CI, CI)
-        dma = pltpu.make_async_copy(
-            feats_ref.at[:, pl.ds(base, CI)], fbuf, dma_sem
-        )
-        dma.start()
-        dma.wait()
+        feat_dma(ci_rev, slot).wait()
+
+        @pl.when(ci_rev + 1 < used_chunks)
+        def _prefetch_next():
+            feat_dma(ci_rev + 1, (ci_rev + 1) % 2).start()
+
+        # retire the grad write-back issued 2 chunks ago on this slot
+        # before the tail of this body refills gbuf[slot]
+        @pl.when(ci_rev >= 2)
+        def _wait_gprev():
+            grad_copy(ci_rev, base).wait()
 
         def row(i):
-            return fbuf[i, :].reshape(CI, 1)
+            return fbuf[slot, i, :].reshape(CI, 1)
 
         tw0, tw1, tw2 = row(F_TW), row(F_TW + 1), row(F_TW + 2)
         tu0, tu1, tu2 = row(F_TU), row(F_TU + 1), row(F_TU + 2)
@@ -634,27 +693,27 @@ def _tile_blend_bwd_kernel(
         d_tw1 = jnp.sum(pixx * d_k1 + pixy * d_l1 + sy * d_depth, axis=1)
         d_tw2 = jnp.sum(pixx * d_k2 + pixy * d_l2 + d_depth, axis=1)
 
-        gbuf[:] = jnp.zeros((F_PAD, CI), jnp.float32)
-        gbuf[F_TU, :] = d_tu0
-        gbuf[F_TU + 1, :] = d_tu1
-        gbuf[F_TU + 2, :] = d_tu2
-        gbuf[F_TV, :] = d_tv0
-        gbuf[F_TV + 1, :] = d_tv1
-        gbuf[F_TV + 2, :] = d_tv2
-        gbuf[F_TW, :] = d_tw0
-        gbuf[F_TW + 1, :] = d_tw1
-        gbuf[F_TW + 2, :] = d_tw2
-        gbuf[F_XY, :] = d_xy0
-        gbuf[F_XY + 1, :] = d_xy1
-        gbuf[F_OPA, :] = d_o
-        gbuf[F_COL, :] = d_c0
-        gbuf[F_COL + 1, :] = d_c1
-        gbuf[F_COL + 2, :] = d_c2
-        gbuf[F_NRM, :] = d_n0
-        gbuf[F_NRM + 1, :] = d_n1
-        gbuf[F_NRM + 2, :] = d_n2
-        gbuf[F_REFL, :] = d_r
-        store_grads(base)
+        gbuf[slot] = jnp.zeros((F_PAD, CI), jnp.float32)
+        gbuf[slot, F_TU, :] = d_tu0
+        gbuf[slot, F_TU + 1, :] = d_tu1
+        gbuf[slot, F_TU + 2, :] = d_tu2
+        gbuf[slot, F_TV, :] = d_tv0
+        gbuf[slot, F_TV + 1, :] = d_tv1
+        gbuf[slot, F_TV + 2, :] = d_tv2
+        gbuf[slot, F_TW, :] = d_tw0
+        gbuf[slot, F_TW + 1, :] = d_tw1
+        gbuf[slot, F_TW + 2, :] = d_tw2
+        gbuf[slot, F_XY, :] = d_xy0
+        gbuf[slot, F_XY + 1, :] = d_xy1
+        gbuf[slot, F_OPA, :] = d_o
+        gbuf[slot, F_COL, :] = d_c0
+        gbuf[slot, F_COL + 1, :] = d_c1
+        gbuf[slot, F_COL + 2, :] = d_c2
+        gbuf[slot, F_NRM, :] = d_n0
+        gbuf[slot, F_NRM + 1, :] = d_n1
+        gbuf[slot, F_NRM + 2, :] = d_n2
+        gbuf[slot, F_REFL, :] = d_r
+        grad_copy(ci_rev, base).start()
 
         # update reverse carries for the next (earlier) chunk
         state[0, :] = (T_rev * jnp.exp(jnp.sum(lf, axis=0, keepdims=True))).reshape(L)
@@ -669,6 +728,16 @@ def _tile_blend_bwd_kernel(
 
     jax.lax.fori_loop(0, used_chunks, chunk_body, None)
     # (non-contributing chunks need no zero-fill: d_feats is aliased to zeros)
+
+    # retire the last (up to 2) outstanding grad write-backs; waits only
+    # need sem + byte-count, so any CI-slab descriptor on the slot works
+    @pl.when(used_chunks >= 1)
+    def _drain_g1():
+        grad_copy(used_chunks - 1, start).wait()
+
+    @pl.when(used_chunks >= 2)
+    def _drain_g2():
+        grad_copy(used_chunks - 2, start).wait()
 
 
 def tile_blend_backward(
@@ -698,10 +767,10 @@ def tile_blend_backward(
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((16, L), jnp.float32),
-            pltpu.VMEM((F_PAD, CI), jnp.float32),
-            pltpu.VMEM((F_PAD, CI), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, F_PAD, CI), jnp.float32),
+            pltpu.VMEM((2, F_PAD, CI), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dfeats_init = jnp.zeros((F_PAD, n_cap), jnp.float32)
