@@ -5,10 +5,11 @@ prefix-sum -> duplicateWithKeys -> 64-bit radix sort -> identifyTileRanges)
 with static-shape XLA built around the ops that are actually fast on TPU
 (measured at 4M instances / 1M Gaussians on a v5e):
 
-- `lax.sort` on millions of pairs: ~7-9 ms. Big scatters: 100-500 ms.
-  Per-element SCALAR gathers (and searchsorted's binary-search loops over
-  millions of queries): 100-600 ms. ROW gathers amortize: ~10 ms per 100 MB.
-- So every stage is a sort, a cumsum, a row-gather, or a small scatter:
+- `lax.sort` on millions of elements: ~4 ms/payload column. Big scatters:
+  100-500 ms. Per-element SCALAR gathers (and searchsorted's binary-search
+  loops over millions of queries): 100-600 ms. ROW gathers amortize:
+  ~10 ms per 100 MB.
+- So every stage is a sort, a cumsum, or a row-gather:
   * Expansion ("duplicateWithKeys"): a P-element marker scatter + cumsum
     assigns each capacity slot its source Gaussian (scan-based expand);
     per-slot tile derivation reads ONE row-gathered [cap, 8] int matrix.
@@ -17,11 +18,14 @@ with static-shape XLA built around the ops that are actually fast on TPU
     by tile id. Stability preserves emission order within a tile = depth
     order with ties broken by Gaussian index — identical to the reference's
     stable radix order (rasterizer_impl.cu:70-111).
-  * The Pallas kernel's 128-aligned exclusive ranges: slot -> tile via the
-    same marker-cumsum (NOT searchsorted: 13 binary-search rounds x 5M
-    queries cost 600+ ms), then a row... scalar gather of source ids.
-  * By-Gaussian grouping for scatter-free backward reductions: one sort +
-    searchsorted(method='sort') for segment bounds.
+  * The Pallas kernel's 128-aligned exclusive ranges: append per-tile pad
+    instances and re-sort by tile id (16 ms) — NOT marker-expand + two
+    gathers (64 ms).
+  * Per-Gaussian grouping is FREE: each Gaussian's instances are contiguous
+    in emission order (run r = [offsets[r], offsets[r]+area[r]) for depth
+    rank r), so backward reductions sort values by the emission rank payload
+    and segment-reduce with these analytic bounds — no by-gid sort, no
+    searchsorted.
 """
 from __future__ import annotations
 
@@ -45,12 +49,15 @@ class Binned(NamedTuple):
     aligned_gid: jnp.ndarray | None  # [cap_al] 128-aligned exclusive layout
     aligned_valid: jnp.ndarray | None  # [cap_al] bool
     aligned_starts: jnp.ndarray | None  # [T_padded]
-    # by-Gaussian grouping of the aligned slots (for scatter-free per-Gaussian
-    # reductions in the backward: sort once here, segment-reduce there)
-    gid_perm: jnp.ndarray | None  # [cap_al] aligned slot at by-gid rank r
-    gid_sorted: jnp.ndarray | None  # [cap_al] gaussian id at rank r (P=invalid)
-    seg_end: jnp.ndarray | None  # [P] exclusive end rank of gaussian g's run
-    seg_start: jnp.ndarray | None  # [P]
+    # per-Gaussian grouping of the aligned slots, in DEPTH-RANK space (for
+    # scatter-free per-Gaussian reductions in the backward): aligned slot ->
+    # depth rank of its Gaussian; rank r's instances are the contiguous run
+    # [seg_start[r], seg_end[r]) once values are sorted by that rank key.
+    aligned_rank: jnp.ndarray | None  # [cap_al] (P where invalid)
+    rank_perm: jnp.ndarray | None  # [cap_al] aligned slot at by-rank order
+    rank_of: jnp.ndarray | None  # [P] gaussian id -> its depth rank
+    seg_start: jnp.ndarray | None  # [P] by rank
+    seg_end: jnp.ndarray | None  # [P] by rank
 
 
 INSTANCE_ALIGN = 128  # kernels/tile_blend.py CI (lane-tile aligned)
@@ -78,6 +85,7 @@ def bin_gaussians(
     n_tiles = tiles_y * tiles_x
     n_tiles_padded = n_tiles + ((-n_tiles) % pad_tiles_to)
     cap = cfg.max_instances
+    P_ = prep.depth.shape[0]
 
     area = prep.tiles_touched  # [P] int32, 0 for invalid
 
@@ -91,7 +99,7 @@ def bin_gaussians(
     # 2. expansion: slot i -> covering Gaussian (by depth rank), then derive
     # its tile from ONE row-gathered int matrix (scalar gathers are 10x
     # slower than row gathers at this size)
-    gsel = _expand_by_offsets(offsets, cap)  # [cap]
+    gsel = _expand_by_offsets(offsets, cap)  # [cap] = depth rank per slot
     gmat = jnp.stack(
         [
             offsets,
@@ -114,10 +122,12 @@ def bin_gaussians(
     ty = rows[:, 2] + j // rw
     inst_tile = jnp.where(slot_valid, ty * tiles_x + tx, n_tiles)
     inst_gid = jnp.where(slot_valid, rows[:, 4], 0)
+    inst_rank = jnp.where(slot_valid, gsel, P_)
 
-    # 3. single stable sort by tile id (front-to-back within tiles)
-    sorted_tile, sorted_gid = jax.lax.sort(
-        (inst_tile, inst_gid), num_keys=1, is_stable=True
+    # 3. single stable sort by tile id (front-to-back within tiles); the
+    # emission rank rides along so per-Gaussian runs stay recoverable
+    sorted_tile, sorted_gid, sorted_rank = jax.lax.sort(
+        (inst_tile, inst_gid, inst_rank), num_keys=1, is_stable=True
     )
 
     # 4. per-tile ranges (few queries: binary-search method is fine here)
@@ -142,41 +152,57 @@ def bin_gaussians(
         tile_mask = k < counts_capped[:, None]
 
     aligned_gid = aligned_valid = aligned_starts = None
-    gid_perm = gid_sorted = seg_end = seg_start = None
+    aligned_rank = rank_perm = rank_of = seg_end = seg_start = None
     if aligned:
-        # 5. 128-aligned mutually-exclusive ranges, built by expansion+gather:
-        # aligned slot s -> tile t (marker cumsum) -> source sorted slot.
+        # 5. 128-aligned mutually-exclusive ranges via sort-with-pads: append
+        # one pad instance per missing slot (keyed by its tile) and re-sort
+        # by tile id. Stability puts pads after the tile's real instances.
         al = INSTANCE_ALIGN
         aligned_counts = ((counts + al - 1) // al) * al
         aligned_starts = (jnp.cumsum(aligned_counts) - aligned_counts).astype(
             jnp.int32
         )
-        cap_al = cap + n_tiles_padded * al
-        s = jnp.arange(cap_al, dtype=jnp.int32)
-        t = jnp.clip(_expand_by_offsets(aligned_starts, cap_al), 0, n_tiles_padded - 1)
-        tmat = jnp.stack([aligned_starts, starts, counts, counts], axis=1)
-        trows = tmat[t]  # [cap_al, 4] row gather
-        o = s - trows[:, 0]
-        src = trows[:, 1] + o
-        aligned_valid = o < trows[:, 2]
-        aligned_gid = jnp.where(
-            aligned_valid, sorted_gid[jnp.clip(src, 0, cap - 1)], 0
-        )
+        pad_counts = aligned_counts - counts
+        pad_cap = n_tiles_padded * al
+        pad_off = jnp.cumsum(pad_counts) - pad_counts
+        pad_tile = _expand_by_offsets(pad_off, pad_cap)
+        npads = jnp.sum(pad_counts)
+        pad_ok = jnp.arange(pad_cap, dtype=jnp.int32) < npads
+        pad_tile = jnp.where(pad_ok, pad_tile, n_tiles_padded)
 
-        # 6. group aligned slots by gaussian id (invalid slots keyed P, at
-        # the end); downstream segment reductions replace scatter-adds
-        P_ = prep.depth.shape[0]
-        key = jnp.where(aligned_valid, aligned_gid, P_)
-        gid_sorted, gid_perm = jax.lax.sort(
-            (key, s), num_keys=1, is_stable=True
+        key = jnp.concatenate([sorted_tile, pad_tile])
+        gid_cat = jnp.concatenate([sorted_gid, jnp.zeros(pad_cap, jnp.int32)])
+        rank_cat = jnp.concatenate(
+            [sorted_rank, jnp.full(pad_cap, P_, jnp.int32)]
         )
-        gids = jnp.arange(P_, dtype=jnp.int32)
-        seg_start = jnp.searchsorted(
-            gid_sorted, gids, side="left", method="sort"
-        ).astype(jnp.int32)
-        seg_end = jnp.searchsorted(
-            gid_sorted, gids, side="right", method="sort"
-        ).astype(jnp.int32)
+        flag_cat = jnp.concatenate(
+            [
+                (sorted_tile < n_tiles).astype(jnp.int32),
+                jnp.zeros(pad_cap, jnp.int32),
+            ]
+        )
+        _, aligned_gid, aligned_rank, aflag = jax.lax.sort(
+            (key, gid_cat, rank_cat, flag_cat), num_keys=1, is_stable=True
+        )
+        aligned_valid = aflag > 0
+
+        # 6. per-Gaussian segment bounds are analytic in rank space; rank_of
+        # (gaussian id -> rank) unsorts rank-ordered reductions. Instances
+        # past the capacity are dropped (the forward never renders them).
+        # rank_perm reorders aligned slots into rank-grouped (= emission)
+        # order; computed here (cotangent-independent, DCE'd when unused)
+        # so the backward is one row gather + analytic segment sums.
+        seg_start = jnp.minimum(offsets, cap).astype(jnp.int32)
+        seg_end = jnp.minimum(offsets + area_o, cap).astype(jnp.int32)
+        _, rank_of = jax.lax.sort(
+            (gorder, jnp.arange(P_, dtype=jnp.int32)), num_keys=1
+        )
+        rank_key = jnp.where(aligned_valid, aligned_rank, P_)
+        _, rank_perm = jax.lax.sort(
+            (rank_key, jnp.arange(rank_key.shape[0], dtype=jnp.int32)),
+            num_keys=1,
+            is_stable=False,
+        )
 
     return Binned(
         tile_gid=tile_gid,
@@ -189,8 +215,9 @@ def bin_gaussians(
         aligned_gid=aligned_gid,
         aligned_valid=aligned_valid,
         aligned_starts=aligned_starts,
-        gid_perm=gid_perm,
-        gid_sorted=gid_sorted,
+        aligned_rank=aligned_rank,
+        rank_perm=rank_perm,
+        rank_of=rank_of,
         seg_end=seg_end,
         seg_start=seg_start,
     )
