@@ -98,3 +98,31 @@ def test_segment_max_matches_naive():
     for g, (a, b) in enumerate(zip(s0, s1)):
         want = vals[a:b].max() if b > a else -1.0
         assert got[g] == pytest.approx(want), g
+
+
+def test_segment_sum_ranges_matches_oracle():
+    """Pallas segment kernel (interpret on CPU) vs the jnp two-level oracle,
+    over tiling runs with gaps, empties, and a clamped tail."""
+    import jax.numpy as jnp
+
+    from tpu_splat.core.segops import segment_sum_sorted
+    from tpu_splat.kernels.segment_reduce import segment_sum_ranges
+
+    rng = np.random.default_rng(3)
+    for n, f, p in [(2048, 24, 300), (1024, 3, 513), (512, 20, 1)]:
+        areas = rng.integers(0, 6, p)
+        total = min(int(areas.sum()), n)
+        starts = np.minimum(np.cumsum(areas) - areas, total).astype(np.int32)
+        ends = np.minimum(starts + areas, total).astype(np.int32)
+        rows = rng.normal(size=(n, f)).astype(np.float32)
+        ref = np.asarray(
+            segment_sum_sorted(
+                jnp.asarray(rows), jnp.asarray(starts), jnp.asarray(ends)
+            )
+        )
+        got = np.asarray(
+            segment_sum_ranges(
+                jnp.asarray(rows.T.copy()), jnp.asarray(starts), jnp.asarray(ends)
+            )
+        ).T
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

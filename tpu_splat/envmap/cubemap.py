@@ -149,7 +149,7 @@ def _flat_gather_fwd(tex_flat, idx):
 
 
 def _flat_gather_bwd(res, d_out):
-    from tpu_splat.core.segops import segment_sum_sorted
+    from tpu_splat.kernels.segment_reduce import segment_sum_ranges
 
     idx, M = res
     flat_idx = idx.reshape(-1).astype(jnp.int32)
@@ -158,15 +158,13 @@ def _flat_gather_bwd(res, d_out):
     idx_sorted, perm = jax.lax.sort(
         (flat_idx, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
     )
-    rows_s = rows[perm]
+    rows_T = rows[perm].T  # [C, n] grouped by texel
+    # binary-search bounds: M (texel count) queries are few relative to n,
+    # so the log2(n) gather rounds beat method="sort"'s two (n+M) sorts
     texel_ids = jnp.arange(M, dtype=jnp.int32)
-    start = jnp.searchsorted(
-        idx_sorted, texel_ids, side="left", method="sort"
-    ).astype(jnp.int32)
-    end = jnp.searchsorted(
-        idx_sorted, texel_ids, side="right", method="sort"
-    ).astype(jnp.int32)
-    d_tex = segment_sum_sorted(rows_s, start, end)
+    start = jnp.searchsorted(idx_sorted, texel_ids, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(idx_sorted, texel_ids, side="right").astype(jnp.int32)
+    d_tex = segment_sum_ranges(rows_T, start, end).T
     return d_tex, None
 
 
@@ -179,6 +177,19 @@ def _tex_gather(texture: jnp.ndarray, face, x, y):
     tex_flat = texture.transpose(0, 2, 3, 1).reshape(-1, texture.shape[1])
     out = _flat_gather(tex_flat, (face * L + y) * L + x)
     return out
+
+
+def _tex_gather4(texture: jnp.ndarray, taps):
+    """Gather all 4 bilinear taps with ONE _flat_gather call so the texel
+    gradient pays ONE sort over 4B indices instead of 4 sorts over B
+    (~3x cheaper env backward at 1080p). taps: 4 of (face, x, y) [...].
+    -> 4 of [..., C], stacked on a LEADING axis internally (a trailing
+    stack would tile-pad 4 -> 128 on TPU)."""
+    L = texture.shape[-1]
+    tex_flat = texture.transpose(0, 2, 3, 1).reshape(-1, texture.shape[1])
+    idx = jnp.stack([(f * L + y) * L + x for f, x, y in taps], axis=0)
+    out = _flat_gather(tex_flat, idx)  # [4, ..., C]
+    return out[0], out[1], out[2], out[3]
 
 
 def sample_cubemap(
@@ -214,10 +225,10 @@ def sample_cubemap(
         y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, L - 1)
 
         if interp == "bilinear":
-            v00 = _tex_gather(params.texture, face, x0, y0)
-            v01 = _tex_gather(params.texture, face, x1, y0)
-            v10 = _tex_gather(params.texture, face, x0, y1)
-            v11 = _tex_gather(params.texture, face, x1, y1)
+            v00, v01, v10, v11 = _tex_gather4(
+                params.texture,
+                [(face, x0, y0), (face, x1, y0), (face, x0, y1), (face, x1, y1)],
+            )
         elif interp == "seamless":
             on_left = su < 0.5
             on_right = su >= L - 0.5
@@ -262,10 +273,9 @@ def sample_cubemap(
                 pick(v_edge & ~u_edge, (fv1, xv1, yv1), (face, x1, y1)),
             )
 
-            v00 = _tex_gather(params.texture, *t00)
-            v01 = _tex_gather(params.texture, *t01)
-            v10 = _tex_gather(params.texture, *t10)
-            v11_tex = _tex_gather(params.texture, *t11)
+            v00, v01, v10, v11_tex = _tex_gather4(
+                params.texture, [t00, t01, t10, t11]
+            )
             v11 = jnp.where(
                 is_vertex[..., None], (v00 + v01 + v10) / 3.0, v11_tex
             )

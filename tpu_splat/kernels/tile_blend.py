@@ -363,14 +363,18 @@ def _expand_rows_fwd(g24, gid, valid, rank_perm, rank_of, seg_start, seg_end):
 
 def _expand_rows_bwd(res, d_out):
     # Gather transpose without scatter-add: rank_perm (precomputed in the
-    # binning, cotangent-independent) regroups grad rows per Gaussian with
-    # ONE row gather; segment bounds are analytic (emission-order runs), so
-    # no by-gid sort or searchsorted here. Rows at invalid slots are exactly
-    # zero (the bwd kernel masks by contribution and d_feats is
-    # zero-aliased) and land past every segment, so no masking either.
+    # binning, cotangent-independent, trimmed to the instance capacity)
+    # regroups grad rows per Gaussian with ONE row gather; segment bounds
+    # are analytic (emission-order runs), and the per-Gaussian sums run in
+    # the Pallas segment kernel (one pass, MXU membership matmul) instead
+    # of XLA cumsums. Rows at invalid slots are exactly zero (the bwd
+    # kernel masks by contribution and d_feats is zero-aliased) and land
+    # past every segment, so no masking is needed.
+    from tpu_splat.kernels.segment_reduce import segment_sum_ranges
+
     valid, rank_perm, rank_of, seg_start, seg_end = res
-    rows = d_out[rank_perm]  # [N_cap, F] grouped by rank
-    d_g24 = segment_sum_sorted(rows, seg_start, seg_end)[rank_of]
+    rows_T = d_out[rank_perm].T  # [F, cap] grouped by rank
+    d_g24 = segment_sum_ranges(rows_T, seg_start, seg_end).T[rank_of]
     return d_g24, None, None, None, None, None, None
 
 

@@ -54,7 +54,7 @@ class Binned(NamedTuple):
     # depth rank of its Gaussian; rank r's instances are the contiguous run
     # [seg_start[r], seg_end[r]) once values are sorted by that rank key.
     aligned_rank: jnp.ndarray | None  # [cap_al] (P where invalid)
-    rank_perm: jnp.ndarray | None  # [cap_al] aligned slot at by-rank order
+    rank_perm: jnp.ndarray | None  # [cap] aligned slot at by-rank order
     rank_of: jnp.ndarray | None  # [P] gaussian id -> its depth rank
     seg_start: jnp.ndarray | None  # [P] by rank
     seg_end: jnp.ndarray | None  # [P] by rank
@@ -203,6 +203,9 @@ def bin_gaussians(
             num_keys=1,
             is_stable=False,
         )
+        # positions >= cap are invalid-key tail (seg bounds clamp to cap),
+        # so the backward's regroup gather only needs the first cap slots
+        rank_perm = rank_perm[:cap]
 
     return Binned(
         tile_gid=tile_gid,
