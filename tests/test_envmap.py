@@ -126,3 +126,56 @@ def test_resize_and_sharpen():
     p3 = sharpen_cubemap(p2)
     assert p3.texture.shape == p2.texture.shape
     assert not np.any(np.isnan(np.asarray(p3.texture)))
+
+
+def test_kernel_vs_sort_texel_gradients(monkeypatch):
+    """The MXU tap-accumulation kernel and the sort+segment fallback must
+    produce identical texture/direction gradients, including seamless edge
+    and corner (vertex) pixels."""
+    import tpu_splat.kernels.cubemap_accum as ca
+
+    p = _params(L=16, seed=7)
+    rng = np.random.default_rng(8)
+    dirs = rng.normal(size=(300, 3)).astype(np.float32)
+    # force plenty of edge/corner coverage
+    corners = np.array(
+        [[1, 1, 1], [1, -1, 1], [-1, 1, -1], [1, 1, -1], [-1, -1, -1]],
+        np.float32,
+    )
+    edges = np.array([[1, 1, 0.01], [0.02, 1, -1], [1, 0.0, 1]], np.float32)
+    dirs = np.concatenate([dirs, corners + 1e-3, edges])
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = jnp.asarray(dirs)
+
+    def loss(tex, d):
+        out = sample_cubemap(CubemapParams(tex, p.fail_value), d)
+        return jnp.sum(out**2 + 0.3 * out)
+
+    assert ca.supported_resolution(16, 3)
+    gt_k, gd_k = jax.grad(loss, argnums=(0, 1))(p.texture, dirs)
+
+    monkeypatch.setattr(ca, "supported_resolution", lambda L, C: False)
+    gt_s, gd_s = jax.grad(loss, argnums=(0, 1))(p.texture, dirs)
+
+    np.testing.assert_allclose(gt_k, gt_s, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(gd_k, gd_s, atol=1e-5, rtol=1e-5)
+    assert np.abs(np.asarray(gt_k)).max() > 0
+
+
+def test_kernel_nonmultiple_lanes(monkeypatch):
+    """L*C not a multiple of 128 (L=8 -> 24 lanes) exercises lane padding."""
+    import tpu_splat.kernels.cubemap_accum as ca
+
+    p = _params(L=8, seed=9)
+    rng = np.random.default_rng(10)
+    dirs = rng.normal(size=(97, 3)).astype(np.float32)  # non-multiple of BN
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = jnp.asarray(dirs)
+
+    def loss(tex, d):
+        return jnp.sum(sample_cubemap(CubemapParams(tex, p.fail_value), d) ** 2)
+
+    g_k = jax.grad(loss)(p.texture, dirs)
+    monkeypatch.setattr(ca, "supported_resolution", lambda L, C: False)
+    g_s = jax.grad(loss)(p.texture, dirs)
+    np.testing.assert_allclose(g_k, g_s, atol=1e-5, rtol=1e-5)

@@ -45,7 +45,7 @@ def test_pallas_matches_xla():
     np.testing.assert_allclose(o_p.others, o_x.others, atol=5e-5, rtol=1e-3)
     np.testing.assert_array_equal(o_p.n_contrib, o_x.n_contrib)
     np.testing.assert_allclose(
-        o_p.gaussian_weights, o_x.gaussian_weights, atol=1e-6
+        o_p.gaussian_weights, o_x.gaussian_weights, atol=2e-5
     )
 
 
@@ -59,7 +59,7 @@ def test_pallas_opaque_scene_early_exit():
     o_p = _run(act, cam, PAL, bg)
     np.testing.assert_allclose(o_p.color, o_x.color, atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(
-        o_p.gaussian_weights, o_x.gaussian_weights, atol=1e-6
+        o_p.gaussian_weights, o_x.gaussian_weights, atol=2e-5
     )
     assert float(jnp.min(o_p.final_T)) < 1e-3  # saturated somewhere
 

@@ -18,3 +18,19 @@ train/render/eval toolchain — redesigned for TPU:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: full-scale (1M-Gaussian, 1080p) pipelines
+# take minutes to compile; cache across processes unless the user overrides.
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    _cache = _os.path.expanduser("~/.cache/jax_compcache")
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        import jax as _jax
+
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+del _os

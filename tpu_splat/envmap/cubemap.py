@@ -171,6 +171,81 @@ def _flat_gather_bwd(res, d_out):
 _flat_gather.defvjp(_flat_gather_fwd, _flat_gather_bwd)
 
 
+def _index_add_sort(idx_flat: jnp.ndarray, rows: jnp.ndarray, M: int) -> jnp.ndarray:
+    """Deterministic index-add fallback: sort taps by texel + segment-sum.
+    idx_flat [N] i32, rows [N, C] -> [M, C]."""
+    from tpu_splat.kernels.segment_reduce import segment_sum_ranges
+
+    n = idx_flat.shape[0]
+    idx_sorted, perm = jax.lax.sort(
+        (idx_flat, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    rows_T = rows[perm].T
+    texel_ids = jnp.arange(M, dtype=jnp.int32)
+    start = jnp.searchsorted(idx_sorted, texel_ids, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(idx_sorted, texel_ids, side="right").astype(jnp.int32)
+    return segment_sum_ranges(rows_T, start, end).T
+
+
+# ---------------------------------------------------------------------------
+# Unified 4-tap blend: every bilinear/seamless sample (interior, edge, and
+# 3-texel corner average) is out = sum_t w_t * tex_flat[idx_t]. The custom
+# VJP routes the texel gradient through the MXU tap-accumulation kernel
+# (kernels/cubemap_accum.py) instead of a 4*H*W-tap sort — the separable
+# auxiliaries (sep_i/sep_f) let interior pixels collapse their 4 taps into
+# one matmul. Tap-weight gradients (-> kx/ky -> direction gradients, the
+# path that drives normals in deferred reflection) come from the saved tap
+# values.
+
+
+@jax.custom_vjp
+def _blend4(tex_flat, w4, idx4, sep_i, sep_f):
+    vals = tex_flat[idx4]  # [4, ..., C]
+    return jnp.sum(w4[..., None] * vals, axis=0)
+
+
+def _blend4_fwd(tex_flat, w4, idx4, sep_i, sep_f):
+    vals = tex_flat[idx4]
+    out = jnp.sum(w4[..., None] * vals, axis=0)
+    return out, (w4, idx4, vals, sep_i, sep_f, tex_flat.shape[0])
+
+
+def _blend4_bwd(res, g):
+    from tpu_splat.kernels.cubemap_accum import (
+        cubemap_tap_accumulate,
+        supported_resolution,
+    )
+
+    w4, idx4, vals, sep_i, sep_f, M = res
+    C = vals.shape[-1]
+    L = int(round((M / 6) ** 0.5))
+    d_w4 = jnp.sum(vals * g[None], axis=-1)  # [4, ...]
+
+    gN = g.reshape(-1, C)
+    N = gN.shape[0]
+    idxN = idx4.reshape(4, N)
+    w4N = w4.reshape(4, N)
+    if supported_resolution(L, C) and 6 * L * L == M:
+        sep_m = sep_f[2].reshape(N)
+        d_tex = cubemap_tap_accumulate(
+            gN,
+            (idxN // L).astype(jnp.int32),
+            (idxN % L).astype(jnp.int32),
+            w4N * (1.0 - sep_m)[None],
+            sep_i[0].reshape(N), sep_i[1].reshape(N),
+            sep_i[2].reshape(N), sep_i[3].reshape(N),
+            sep_f[0].reshape(N), sep_f[1].reshape(N), sep_m,
+            L=L, C=C,
+        )
+    else:
+        rows = (w4N[..., None] * gN[None]).reshape(4 * N, C)
+        d_tex = _index_add_sort(idxN.reshape(4 * N), rows, M)
+    return d_tex, d_w4, None, None, jnp.zeros_like(sep_f)
+
+
+_blend4.defvjp(_blend4_fwd, _blend4_bwd)
+
+
 def _tex_gather(texture: jnp.ndarray, face, x, y):
     """texture [6,C,L,L]; (face,x,y) [B] -> [B,C]."""
     L = texture.shape[-1]
@@ -225,10 +300,12 @@ def sample_cubemap(
         y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, L - 1)
 
         if interp == "bilinear":
-            v00, v01, v10, v11 = _tex_gather4(
-                params.texture,
-                [(face, x0, y0), (face, x1, y0), (face, x0, y1), (face, x1, y1)],
-            )
+            t00 = (face, x0, y0)
+            t01 = (face, x1, y0)
+            t10 = (face, x0, y1)
+            t11 = (face, x1, y1)
+            is_vertex = jnp.zeros(su.shape, bool)
+            sep_m = jnp.ones(su.shape, jnp.float32)
         elif interp == "seamless":
             on_left = su < 0.5
             on_right = su >= L - 0.5
@@ -272,19 +349,35 @@ def sample_cubemap(
                 (fu1, xu1, yu1),
                 pick(v_edge & ~u_edge, (fv1, xv1, yv1), (face, x1, y1)),
             )
-
-            v00, v01, v10, v11_tex = _tex_gather4(
-                params.texture, [t00, t01, t10, t11]
-            )
-            v11 = jnp.where(
-                is_vertex[..., None], (v00 + v01 + v10) / 3.0, v11_tex
-            )
+            sep_m = (~(u_edge | v_edge)).astype(jnp.float32)
         else:
             raise ValueError(f"unknown interp {interp!r}")
 
-        kx = kx[..., None]
-        ky = ky[..., None]
-        out = (1 - ky) * ((1 - kx) * v00 + kx * v01) + ky * ((1 - kx) * v10 + kx * v11)
+        # unified 4-tap weighted blend: the corner ("vertex") case's
+        # 3-texel average of the missing 4th tap folds into the other three
+        # (cubemapencoder.cu:235-240 semantics)
+        w00 = (1 - ky) * (1 - kx)
+        w01 = (1 - ky) * kx
+        w10 = ky * (1 - kx)
+        w11 = ky * kx
+        third = w11 / 3.0
+        w00 = jnp.where(is_vertex, w00 + third, w00)
+        w01 = jnp.where(is_vertex, w01 + third, w01)
+        w10 = jnp.where(is_vertex, w10 + third, w10)
+        w11 = jnp.where(is_vertex, 0.0, w11)
+
+        flat = lambda t: (t[0] * L + t[2]) * L + t[1]
+        idx4 = jnp.stack([flat(t00), flat(t01), flat(t10), flat(t11)])
+        w4 = jnp.stack([w00, w01, w10, w11])
+        sg = jax.lax.stop_gradient
+        sep_i = jnp.stack(
+            [face * L + y0, face * L + y1, x0, x1]
+        ).astype(jnp.int32)
+        sep_f = jnp.stack([sg(ky), sg(kx), sep_m])
+        tex_flat = params.texture.transpose(0, 2, 3, 1).reshape(
+            -1, params.texture.shape[1]
+        )
+        out = _blend4(tex_flat, w4, idx4, sep_i, sep_f)
 
     out = jnp.where(fail[..., None], params.fail_value, out)
     return out

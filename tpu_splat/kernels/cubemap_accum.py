@@ -1,0 +1,193 @@
+"""Pallas TPU kernel: cubemap texel-gradient accumulation via one-hot matmuls.
+
+The deferred-reflection pass samples the learned cubemap at every pixel
+(4 bilinear taps each); its backward must reduce per-tap gradients into the
+[6, L, L, C] texture. The reference does this with atomicAdd
+(cubemapencoder/src/cubemapencoder.cu backward); the previous TPU
+formulation sorted 4*H*W tap indices and segment-summed (~90 ms at 1080p).
+This kernel turns texel membership into MXU matmuls instead — deterministic,
+no sort, no scatter:
+
+- Texels are factored as (row = face*L + y) x (column-channel j = x*C + c):
+  d_tex2[row, j] = sum_i A[i, row] * U[i, j] over taps/pixels i, i.e. ONE
+  [R, BN] x [BN, LC] matmul per block of BN pixels, accumulated in VMEM
+  across the whole grid (the output block index map is constant, so the
+  accumulator lives in VMEM until the final writeback).
+- Interior pixels (the vast majority) use the SEPARABLE fast path: their 4
+  taps share rows {r0, r1} and columns {c0, c1} with product weights, so one
+  matmul with A = (1-wr)*1[r0] + wr*1[r1] and U = ((1-wc)*1[c0] + wc*1[c1])*g
+  covers all 4 taps at 1x cost.
+- Pixels whose taps cross a face edge (seamless filtering, including the
+  3-tap corner average) take a generic 4-tap path: per tap, A_t = w_t*1[row_t],
+  U_t = 1[col_t]*g. Blocks with no edge pixels skip it entirely (scalar
+  prefetch flag) — edge pixels cluster along face-boundary curves, so most
+  blocks skip.
+- Matmuls run at HIGHEST precision (f32 via bf16 passes): the one-hot side
+  is exact and the payload keeps f32-grade mantissa, so per-texel sums match
+  the XLA oracle to float rounding.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BN = 256  # pixels per block
+
+# int-pack rows
+I_R0, I_R1, I_C0, I_C1 = 0, 1, 2, 3
+I_TROW = 4  # 4:8
+I_TCOL = 8  # 8:12
+NI = 16
+# float-pack rows
+F_WR, F_WC, F_MSEP = 0, 1, 2
+F_TW = 3  # 3:7
+F_G = 7  # 7:7+C
+NF = 16
+
+
+def _tap_accum_kernel(flags_ref, ints_ref, floats_ref, out_ref, *, R, LC, LCp, C):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _init():
+        out_ref[:] = jnp.zeros((R, LCp), jnp.float32)
+
+    ints = jnp.transpose(ints_ref[0])  # [BN, NI] i32
+    floats = jnp.transpose(floats_ref[0])  # [BN, NF] f32
+
+    def icol(k):
+        return ints[:, k : k + 1]  # [BN, 1]
+
+    def fcol(k):
+        return floats[:, k : k + 1]
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, R), 1)
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, LCp), 1)
+    jdivC = j_iota // C  # column (x) of lane j
+    jmodC = j_iota - jdivC * C
+
+    # g3[i, j] = g[i, j % C] for j < LC else 0
+    g3 = jnp.zeros((BN, LCp), jnp.float32)
+    for c in range(C):
+        g3 = g3 + jnp.where((jmodC == c) & (j_iota < LC), fcol(F_G + c), 0.0)
+
+    hp = jax.lax.Precision.HIGHEST
+
+    def acc(A, U):
+        out_ref[:] += jax.lax.dot_general(
+            A, U, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hp,
+        )
+
+    # separable path: all 4 taps of interior pixels in one matmul
+    m = fcol(F_MSEP)
+    wr = fcol(F_WR)
+    wc = fcol(F_WC)
+    A = (
+        jnp.where(row_iota == icol(I_R0), (1.0 - wr) * m, 0.0)
+        + jnp.where(row_iota == icol(I_R1), wr * m, 0.0)
+    )
+    B3 = (
+        jnp.where(jdivC == icol(I_C0), 1.0 - wc, 0.0)
+        + jnp.where(jdivC == icol(I_C1), wc, 0.0)
+    )
+    acc(A, B3 * g3)
+
+    # generic path: per-tap one-hots, only for blocks containing edge pixels
+    @pl.when(flags_ref[b] != 0)
+    def _generic():
+        for t in range(4):
+            At = jnp.where(row_iota == icol(I_TROW + t), fcol(F_TW + t), 0.0)
+            Ut = jnp.where(jdivC == icol(I_TCOL + t), g3, 0.0)
+            acc(At, Ut)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "C", "interpret"))
+def cubemap_tap_accumulate(
+    g: jnp.ndarray,  # [N, C] output cotangents per pixel
+    tap_row: jnp.ndarray,  # [4, N] i32 row (face*L + y) per tap
+    tap_col: jnp.ndarray,  # [4, N] i32 column (x) per tap
+    tap_w: jnp.ndarray,  # [4, N] f32 tap weights, ZERO for separable pixels
+    sep_r0: jnp.ndarray,  # [N] i32
+    sep_r1: jnp.ndarray,
+    sep_c0: jnp.ndarray,
+    sep_c1: jnp.ndarray,
+    sep_wr: jnp.ndarray,  # [N] f32
+    sep_wc: jnp.ndarray,
+    sep_m: jnp.ndarray,  # [N] f32 1 = separable pixel, 0 = generic (edge)
+    L: int,
+    C: int,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """-> d_tex [6*L*L, C] (flat texel rows, matching texture.transpose(
+    0,2,3,1).reshape(-1, C))."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    N = g.shape[0]
+    R = 6 * L
+    LC = L * C
+    LCp = ((LC + 127) // 128) * 128
+
+    n_pad = (-N) % BN
+    if n_pad:
+        zi = lambda a: jnp.concatenate([a, jnp.zeros((n_pad,), a.dtype)])
+        zi4 = lambda a: jnp.concatenate([a, jnp.zeros((4, n_pad), a.dtype)], axis=1)
+        g = jnp.concatenate([g, jnp.zeros((n_pad, C), g.dtype)])
+        tap_row, tap_col, tap_w = zi4(tap_row), zi4(tap_col), zi4(tap_w)
+        sep_r0, sep_r1 = zi(sep_r0), zi(sep_r1)
+        sep_c0, sep_c1 = zi(sep_c0), zi(sep_c1)
+        sep_wr, sep_wc, sep_m = zi(sep_wr), zi(sep_wc), zi(sep_m)
+    Np = N + n_pad
+    nb = Np // BN
+
+    ints = jnp.zeros((NI, Np), jnp.int32)
+    ints = ints.at[I_R0].set(sep_r0).at[I_R1].set(sep_r1)
+    ints = ints.at[I_C0].set(sep_c0).at[I_C1].set(sep_c1)
+    ints = ints.at[I_TROW : I_TROW + 4].set(tap_row)
+    ints = ints.at[I_TCOL : I_TCOL + 4].set(tap_col)
+    floats = jnp.zeros((NF, Np), jnp.float32)
+    floats = floats.at[F_WR].set(sep_wr).at[F_WC].set(sep_wc).at[F_MSEP].set(sep_m)
+    floats = floats.at[F_TW : F_TW + 4].set(tap_w)
+    floats = floats.at[F_G : F_G + C].set(g.T)
+
+    # [nb, NI, BN] blocks: Mosaic wants the grid axis leading so the last
+    # two block dims are (NI, BN) = full rows x lane multiple
+    ints = jnp.swapaxes(ints.reshape(NI, nb, BN), 0, 1)
+    floats = jnp.swapaxes(floats.reshape(NF, nb, BN), 0, 1)
+    # block needs the generic path iff any of its pixels is non-separable
+    flags = jnp.max(
+        (sep_m.reshape(nb, BN) < 0.5).astype(jnp.int32), axis=1
+    )
+
+    kern = functools.partial(_tap_accum_kernel, R=R, LC=LC, LCp=LCp, C=C)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, NI, BN), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, NF, BN), lambda b, *_: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((R, LCp), lambda b, *_: (0, 0)),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, LCp), jnp.float32),
+        interpret=interpret,
+    )(flags, ints, floats)
+    # [R, LCp] -> [R, L, C] -> [6*L*L, C]
+    return out[:, :LC].reshape(R, L, C).reshape(R * L, C)
+
+
+def supported_resolution(L: int, C: int) -> bool:
+    """VMEM budget check: accumulator [6L, ceil(LC/128)*128] f32 plus the
+    [BN, 6L] one-hot must fit comfortably (v5e VMEM ~16 MB)."""
+    R = 6 * L
+    LCp = ((L * C + 127) // 128) * 128
+    acc_bytes = R * LCp * 4
+    a_bytes = BN * R * 4
+    return C <= 8 and acc_bytes + 2 * a_bytes < 10 * 1024 * 1024

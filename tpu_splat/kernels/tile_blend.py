@@ -1,25 +1,48 @@
-"""Pallas TPU kernel: per-tile alpha-compositing forward sweep.
+"""Pallas TPU kernels: per-tile alpha-compositing sweep, MXU formulation.
 
 Speed-of-light replacement for the XLA scan in tpu_splat.raster.blend
 (itself the TPU analogue of renderCUDA, forward.cu:258-489). Design:
 
+- The ray-splat intersection is algebraically linear in the pixel: with
+  k = x*Tw - Tu and l = y*Tw - Tv, the homogeneous intersection
+  p = k x l = x*(Tv x Tw) + y*(Tw x Tu) + (Tu x Tv) — the quadratic term
+  cancels. So each instance carries PRECOMPUTED COEFFICIENTS (computed once
+  per Gaussian in pack_features, differentiably, then gathered per
+  instance), and the kernel evaluates p0/p1/p2, the depth numerator
+  p.Tw, and the low-pass screen ellipse as small [3, CI] x [3, 256]
+  MATMULS over the tile's pixel basis (x, y, 1) — MXU work in the data's
+  native [features, instances] layout, replacing ~20 lane->sublane
+  relayout broadcasts per chunk in the elementwise formulation.
+- Opacity rides in log space: alpha = exp(min(log .99, max(s3, s2))) with
+  s3 = log(opa) - rho3d/2 and s2 = log(opa) - rho2d/2 (the rho2d polynomial
+  and log-opacity folded into the same matmul coefficients).
+- The sequential "over" operator and the depth-distortion prefix sums run
+  as triangular one-hot matmuls: exclusive cumsum = Lstrict @ v on the MXU
+  (log-space for the transmittance product), replacing log2(CI)-step
+  Hillis-Steele shifts.
+- Per-pixel weighted accumulation of color/normal/refl/scope is ONE
+  [8, CI] @ [CI, 256] matmul per chunk (features stationary, blend weights
+  moving); per-instance gradients in the backward are the transposed
+  matmuls [k, 256] x [CI, 256] -> [k, CI], landing directly in the
+  feature-major gradient slab layout.
 - Instance attributes are pre-gathered ONCE in depth-sorted instance order
-  into a feature-major [F=24, N_cap] array (contiguous — the per-step random
-  gathers that dominate the XLA path disappear). Each tile's instance range
-  is padded to a 128-instance boundary and ranges are mutually exclusive, so
-  every DMA is 256-byte aligned and per-instance outputs never cross tiles.
-- grid = (num_tiles,): each program sweeps one 16x16 tile. Per-tile
-  (start, count) arrive via scalar prefetch; the chunk loop is a while_loop
-  with the tile's REAL trip count — no padded compute — and terminates early
+  into a feature-major [F=24, N_cap] array; each tile's range is padded to
+  a 128-instance boundary, ranges mutually exclusive, so every DMA is
+  aligned and per-instance outputs never cross tiles.
+- grid = (num_tiles,): per-tile (start, count) via scalar prefetch; the
+  chunk loop is a while_loop with the REAL trip count and terminates early
   once every pixel saturates (T < 1e-4), like the CUDA block vote
-  (forward.cu:338-340).
-- Each iteration DMAs a [24, 128] feature slab HBM->VMEM and evaluates the
-  splat math as [64, 256] VPU ops; the sequential "over" operator becomes a
-  log2(128)-step Hillis-Steele prefix product over the instance axis.
-- Per-pixel state lives in a [16, 256] VMEM accumulator; per-instance max
-  blend weights stream back to HBM per chunk (contiguous stores, no atomics).
+  (forward.cu:338-340). Double-buffered DMA hides the feature loads.
+
+The backward kernel re-walks each tile back-to-front, reconstructing
+transmittance by dividing alphas back out in log space (the TPU analogue of
+backward.cu:143-470), with suffix sums as reversed triangular matmuls and a
+hand-derived gradient chain into the coefficient space; pack_features'
+autodiff VJP carries coefficients back to transMat/xy/opacity per Gaussian.
 """
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
@@ -37,17 +60,24 @@ from tpu_splat.raster.config import (
     FILTER_INV_SQUARE,
 )
 
-# feature rows in the packed [F, N] instance array
-F_TU = 0  # 0:3
-F_TV = 3
-F_TW = 6
-F_XY = 9  # 9:11
-F_OPA = 11
-F_COL = 12  # 12:15
-F_NRM = 15  # 15:18
-F_REFL = 18
-F_SCOPE = 19
+# feature rows in the packed [F, N] instance array (coefficient space).
+# The kernel evaluates every pixel-linear form on a TILE-RECENTERED basis
+# (x' = x - cx with cx the tile center, |x'| <= 8): the constant
+# coefficients are re-derived in-kernel from the linear ones per tile,
+# which keeps f32 cancellation at the oracle's per-pixel conditioning
+# instead of O(image width) magnitudes.
+F_CP0 = 0  # 0:3   p0 = a x + b y + c   (a, b, c at x=0 origin)
+F_CP1 = 3  # 3:6
+F_CP2 = 6  # 6:9
+F_CDN = 9  # 9:12  depth numerator p . Tw
+F_AX2 = 12  # FI * xy.x   (low-pass screen ellipse center)
+F_AY2 = 13  # FI * xy.y
+F_LO = 14  # log(opa)
+F_TW2 = 15  # Tw.z (depth when the intersection is unstable)
+F_CON = 16  # 16:24 content: color 3, normal 3, refl, scope
 F_PAD = 24
+
+LOG_AMAX = math.log(ALPHA_MAX)
 
 # packed per-pixel output rows in [T, 16, 256]
 O_COL = 0  # 0:3
@@ -61,32 +91,97 @@ O_SCOPE = 11
 O_NCON = 12
 O_M1 = 13
 O_M2 = 14
-O_MEDRANK = 15  # output row 15: median contributor rank (1-based, 0 = none)
+O_MEDRANK = 15  # median contributor rank (1-based, 0 = none)
 S_DONE = 16  # scratch-only row: termination flag
 
 CI = 128  # instances per chunk; lane-tile (128) aligned DMA slabs
 L = TILE_PIX
 
-
-def _incl_cumprod_rows(x):
-    """Inclusive cumprod along axis 0 (instances) of [CI, L], Hillis-Steele."""
-    ones = jnp.ones_like(x)
-    shift = 1
-    while shift < CI:
-        shifted = jnp.concatenate([ones[:shift], x[:-shift]], axis=0)
-        x = x * shifted
-        shift *= 2
-    return x
+_HP = jax.lax.Precision.HIGHEST
 
 
-def _incl_cumsum_rows(x):
-    zeros = jnp.zeros_like(x)
-    shift = 1
-    while shift < CI:
-        shifted = jnp.concatenate([zeros[:shift], x[:-shift]], axis=0)
-        x = x + shifted
-        shift *= 2
-    return x
+def _dot_k(rows, rhs):
+    """[k, CI] coefficient rows x [k, L] basis -> [CI, L] (contract dim 0)."""
+    return jax.lax.dot_general(
+        rows, rhs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HP,
+    )
+
+
+def _dot_mm(a, b):
+    """[M, K] @ [K, N] standard matmul in f32."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HP,
+    )
+
+
+def _dot_px(rows, mat):
+    """[k, L] x [CI, L] -> [k, CI] (contract the pixel axis)."""
+    return jax.lax.dot_general(
+        rows, mat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HP,
+    )
+
+
+def _ltri_strict():
+    """[CI, CI] strict lower-triangular ones: Lstrict @ v = exclusive cumsum."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (CI, CI), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (CI, CI), 1)
+    return (j < i).astype(jnp.float32)
+
+
+def _utri_incl():
+    """[CI, CI] upper-triangular-inclusive ones: U @ v = inclusive suffix sum."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (CI, CI), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (CI, CI), 1)
+    return (j >= i).astype(jnp.float32)
+
+
+def _recentered_rows(fb, g, cx, cy):
+    """[3, CI] coefficient rows of one linear form, constant re-derived at
+    the tile center: c' = c + cx*a + cy*b."""
+    a = fb[g:g + 1]
+    b = fb[g + 1:g + 2]
+    c = fb[g + 2:g + 3]
+    return jnp.concatenate([a, b, c + cx * a + cy * b], axis=0)
+
+
+def _chunk_geometry(fb, basis3, ones1, qv, cx, cy):
+    """Shared forward geometry: coefficient matmuls + alpha/depth.
+
+    fb: [F_PAD, CI] feature slab value; basis3 is the tile-recentered
+    (x', y', 1). Returns dict of [CI, L] arrays."""
+    fi = FILTER_INV_SQUARE
+    p0 = _dot_k(_recentered_rows(fb, F_CP0, cx, cy), basis3)
+    p1 = _dot_k(_recentered_rows(fb, F_CP1, cx, cy), basis3)
+    p2 = _dot_k(_recentered_rows(fb, F_CP2, cx, cy), basis3)
+    dn = _dot_k(_recentered_rows(fb, F_CDN, cx, cy), basis3)
+    ax2p = fb[F_AX2:F_AX2 + 1] - fi * cx  # FI * (xy.x - cx)
+    ay2p = fb[F_AY2:F_AY2 + 1] - fi * cy
+    c2p = -(ax2p * ax2p + ay2p * ay2p) * (0.5 / fi) + fb[F_LO:F_LO + 1]
+    s2 = _dot_k(jnp.concatenate([ax2p, ay2p, c2p], axis=0), basis3) + qv
+    lo = _dot_k(fb[F_LO:F_LO + 1], ones1)
+    tw2 = _dot_k(fb[F_TW2:F_TW2 + 1], ones1)
+
+    unstable = jnp.abs(p2) < 1e-4
+    ivp = 1.0 / jnp.where(unstable, 1.0, p2)
+    r3h = 0.5 * (p0 * p0 + p1 * p1) * (ivp * ivp)  # rho3d / 2
+    s3 = jnp.where(unstable, -1e8, lo - r3h)
+    s = jnp.maximum(s3, s2)
+    a_log = jnp.minimum(LOG_AMAX, s)
+    alpha = jnp.exp(a_log)
+    depth = jnp.where(unstable, tw2, dn * ivp)
+    return dict(
+        p0=p0, p1=p1, p2=p2, dn=dn, s2=s2, s3=s3, s=s, unstable=unstable,
+        ivp=ivp, r3h=r3h, alpha=alpha, depth=depth, ax2p=ax2p, ay2p=ay2p,
+    )
+
+
+def _m_of_depth(depth):
+    safe_depth = jnp.maximum(depth, NEAR_N)
+    m = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N / safe_depth)
+    return m, safe_depth
 
 
 def _tile_blend_kernel(
@@ -103,8 +198,8 @@ def _tile_blend_kernel(
     wmax_ref,  # [8, N_cap] ANY/HBM (row 0 = wmax; aliased, zero elsewhere)
     # scratch
     state,  # VMEM (24, L); rows 0..15 are the output block, 16+ internal
-    fbuf,  # VMEM (F_PAD, CI)
-    wbuf,  # VMEM (8, CI)
+    fbuf,  # VMEM (2, F_PAD, CI)
+    wbuf,  # VMEM (2, 8, CI)
     dma_sem,
     w_sem,
 ):
@@ -113,8 +208,17 @@ def _tile_blend_kernel(
     count = counts_ref[t]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    pixx = (orgx_ref[t] + lane % TILE).astype(jnp.float32)
-    pixy = (orgy_ref[t] + lane // TILE).astype(jnp.float32)
+    # tile-recentered pixel basis: x' = x - (orgx + 7), |x'| <= 8 (exact ints)
+    cx = orgx_ref[t] + 7
+    cy = orgy_ref[t] + 7
+    pixx = (lane % TILE - 7).astype(jnp.float32)
+    pixy = (lane // TILE - 7).astype(jnp.float32)
+    cxf = jnp.float32(cx)
+    cyf = jnp.float32(cy)
+    ones1 = jnp.ones((1, L), jnp.float32)
+    basis3 = jnp.concatenate([pixx, pixy, ones1], axis=0)  # [3, L]
+    qv = -0.5 * FILTER_INV_SQUARE * (pixx * pixx + pixy * pixy)  # [1, L]
+    ltri = _ltri_strict()
 
     state[:] = jnp.zeros((24, L), jnp.float32)
     state[O_T, :] = jnp.ones((L,), jnp.float32)
@@ -161,76 +265,51 @@ def _tile_blend_kernel(
         def _prefetch_next():
             feat_dma(ci + 1, (ci + 1) % 2).start()
 
-        def row(i):
-            return fbuf[slot, i, :].reshape(CI, 1)  # [CI,1] broadcast over lanes
+        fb = fbuf[slot]
+        g = _chunk_geometry(fb, basis3, ones1, qv, cxf, cyf)
+        alpha, depth = g["alpha"], g["depth"]
 
-        tw0, tw1, tw2 = row(F_TW), row(F_TW + 1), row(F_TW + 2)
-        tu0, tu1, tu2 = row(F_TU), row(F_TU + 1), row(F_TU + 2)
-        tv0, tv1, tv2 = row(F_TV), row(F_TV + 1), row(F_TV + 2)
-
-        # Ray-splat intersection (2DGS Eqs. 8-10; forward.cu:363-394)
-        k0 = pixx * tw0 - tu0
-        k1 = pixx * tw1 - tu1
-        k2 = pixx * tw2 - tu2
-        l0 = pixy * tw0 - tv0
-        l1 = pixy * tw1 - tv1
-        l2 = pixy * tw2 - tv2
-        p0 = k1 * l2 - k2 * l1
-        p1 = k2 * l0 - k0 * l2
-        p2 = k0 * l1 - k1 * l0
-        unstable = jnp.abs(p2) < 1e-4
-        inv_p2 = 1.0 / jnp.where(unstable, 1.0, p2)
-        sx = jnp.where(unstable, 0.0, p0 * inv_p2)
-        sy = jnp.where(unstable, 0.0, p1 * inv_p2)
-        rho3d = jnp.where(unstable, 1e8, sx * sx + sy * sy)
-        dxm = row(F_XY) - pixx
-        dym = row(F_XY + 1) - pixy
-        rho2d = FILTER_INV_SQUARE * (dxm * dxm + dym * dym)
-        rho = jnp.minimum(rho3d, rho2d)
-        depth = sx * tw0 + sy * tw1 + tw2
-
-        alpha = jnp.minimum(ALPHA_MAX, row(F_OPA) * jnp.exp(-0.5 * rho))
         idx = base + row_i
         valid = idx < start + count
         done = state[S_DONE, :].reshape(1, L) > 0.5
         accept = (depth >= NEAR_N) & (alpha >= ALPHA_MIN) & valid & ~done
         a_eff = jnp.where(accept, alpha, 0.0)
 
-        prefix_in = jnp.concatenate(
-            [jnp.ones((1, L), jnp.float32), (1.0 - a_eff)[:-1]], axis=0
-        )
-        prefix = _incl_cumprod_rows(prefix_in)  # exclusive cumprod
+        # exclusive prefix product of (1 - a) as a log-space triangular matmul
+        u = jnp.log1p(-a_eff)
+        prefix = jnp.exp(_dot_mm(ltri, u))
         T_carry = state[O_T, :].reshape(1, L)
         T_before = T_carry * prefix
         trigger = accept & (T_before * (1.0 - alpha) < T_EPS)
         trig_f = trigger.astype(jnp.float32)
-        term_excl = (_incl_cumsum_rows(trig_f) - trig_f) > 0.0
+        term_excl = _dot_mm(ltri, trig_f) > 0.0
         contrib = accept & ~term_excl & ~trigger
         w = jnp.where(contrib, alpha * T_before, 0.0)
 
-        a_con = jnp.where(contrib, alpha, 0.0)
-        T_new = T_carry * jnp.exp(
-            jnp.sum(jnp.log1p(-a_con), axis=0, keepdims=True)
-        )
+        u_con = jnp.where(contrib, u, 0.0)
+        T_new = T_carry * jnp.exp(jnp.sum(u_con, axis=0, keepdims=True))
         done_new = done | (jnp.sum(trig_f, axis=0, keepdims=True) > 0.0)
 
-        state[O_COL, :] += jnp.sum(w * row(F_COL), axis=0)
-        state[O_COL + 1, :] += jnp.sum(w * row(F_COL + 1), axis=0)
-        state[O_COL + 2, :] += jnp.sum(w * row(F_COL + 2), axis=0)
-        state[O_NRM, :] += jnp.sum(w * row(F_NRM), axis=0)
-        state[O_NRM + 1, :] += jnp.sum(w * row(F_NRM + 1), axis=0)
-        state[O_NRM + 2, :] += jnp.sum(w * row(F_NRM + 2), axis=0)
+        # content accumulation: ONE [8, CI] @ [CI, L] matmul
+        cw = _dot_mm(fb[F_CON:F_CON + 8], w)  # [8, L]
+        state[O_COL, :] += cw[0]
+        state[O_COL + 1, :] += cw[1]
+        state[O_COL + 2, :] += cw[2]
+        state[O_NRM, :] += cw[3]
+        state[O_NRM + 1, :] += cw[4]
+        state[O_NRM + 2, :] += cw[5]
+        state[O_REFL, :] += cw[6]
+        state[O_SCOPE, :] += cw[7]  # thresholded > 0 after the sweep
         state[O_DEPTH, :] += jnp.sum(w * depth, axis=0)
-        state[O_REFL, :] += jnp.sum(w * row(F_REFL), axis=0)
 
         # depth distortion (2DGS appendix; forward.cu:419-427)
-        safe_depth = jnp.maximum(depth, NEAR_N)
-        m = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N / safe_depth)
+        m, _sd = _m_of_depth(depth)
         mw = m * w
-        m2w = m * m * w
+        m2w = m * mw
+        pre = _dot_mm(ltri, jnp.concatenate([mw, m2w], axis=1))  # [CI, 2L]
         A = 1.0 - T_before
-        M1c = state[O_M1, :].reshape(1, L) + (_incl_cumsum_rows(mw) - mw)
-        M2c = state[O_M2, :].reshape(1, L) + (_incl_cumsum_rows(m2w) - m2w)
+        M1c = state[O_M1, :].reshape(1, L) + pre[:, :L]
+        M2c = state[O_M2, :].reshape(1, L) + pre[:, L:]
         state[O_DIST, :] += jnp.sum(
             (m * m * A + M2c - 2.0 * m * M1c) * w, axis=0
         )
@@ -251,10 +330,6 @@ def _tile_blend_kernel(
         ).reshape(L)
         state[O_NCON, :] = jnp.maximum(
             state[O_NCON, :], jnp.max(jnp.where(contrib, rank, 0.0), axis=0)
-        )
-        state[O_SCOPE, :] = jnp.maximum(
-            state[O_SCOPE, :],
-            jnp.max(jnp.where(contrib, row(F_SCOPE), 0.0), axis=0),
         )
 
         state[O_T, :] = T_new.reshape(L)
@@ -296,6 +371,9 @@ def _tile_blend_kernel(
     def _drain_w2():
         _wdrain(ci_f - 2)
 
+    # scope mask: 1 iff any contributing in-scope instance (w > 0 for every
+    # contributor, so the weighted sum is positive exactly then)
+    state[O_SCOPE, :] = (state[O_SCOPE, :] > 0.0).astype(jnp.float32)
     out_px_ref[0, :, :] = state[0:16, :]
 
 
@@ -381,6 +459,34 @@ def _expand_rows_bwd(res, d_out):
 _expand_rows.defvjp(_expand_rows_fwd, _expand_rows_bwd)
 
 
+def gauss_coefficients(hom, xy, opacity):
+    """Per-Gaussian pixel-linear coefficients for the MXU kernel.
+
+    hom [P,3,3] (rows Tu, Tv, Tw of the splat->pixel homography,
+    forward.cu compute_transmat), xy [P,2] screen center, opacity [P].
+    Returns [P, 16]: 9 p-coeffs, 3 depth-numerator coeffs, 2 low-pass
+    center coeffs, log-opacity, Tw.z (the constant terms of each linear
+    form are re-derived per tile in-kernel on the recentered basis).
+    Differentiable (plain jnp) — the kernel's coefficient-space gradients
+    chain back through this in the pack VJP."""
+    Tu, Tv, Tw = hom[:, 0, :], hom[:, 1, :], hom[:, 2, :]
+    A = jnp.cross(Tv, Tw)  # p = x*A + y*B + C
+    B = jnp.cross(Tw, Tu)
+    C = jnp.cross(Tu, Tv)
+    lo = jnp.log(jnp.maximum(opacity, 1e-12))
+    fi = FILTER_INV_SQUARE
+    cols = [
+        A[:, 0], B[:, 0], C[:, 0],
+        A[:, 1], B[:, 1], C[:, 1],
+        A[:, 2], B[:, 2], C[:, 2],
+        jnp.sum(A * Tw, axis=1), jnp.sum(B * Tw, axis=1), jnp.sum(C * Tw, axis=1),
+        fi * xy[:, 0], fi * xy[:, 1],
+        lo,
+        Tw[:, 2],
+    ]
+    return jnp.stack(cols, axis=1)
+
+
 def pack_features(
     sorted_gid: jnp.ndarray,  # [N_cap] (pad slots may hold any id; mask below)
     valid: jnp.ndarray,  # [N_cap] bool
@@ -398,35 +504,34 @@ def pack_features(
 ) -> jnp.ndarray:
     """Gather per-Gaussian attrs into the kernel's [F_PAD, N_cap] layout.
 
-    ONE row-gather: attributes are first packed per-Gaussian into a [P, 24]
-    matrix (cheap, P rows), then gathered by sorted instance id as contiguous
-    96-byte rows — orders of magnitude friendlier to the TPU than 24 separate
-    element-gathers. Validity masks every row so pad slots (and the backward
-    kernel's never-written d_feats tail) cannot leak gradients.
+    ONE row-gather: attributes are converted to kernel coefficients per
+    Gaussian (P rows, cheap) and packed into a [P, 32] matrix, then gathered
+    by sorted instance id as contiguous 128-byte rows — orders of magnitude
+    friendlier to the TPU than per-feature element gathers. Validity masks
+    every row so pad slots (and the backward kernel's never-written d_feats
+    tail) cannot leak gradients.
 
     When the binning's rank grouping (rank_perm/rank_of/seg_*) is given,
     the gather's transpose is a row gather + analytic-run segment sum
     instead of XLA's scatter-add."""
     P_ = opacity.shape[0]
-    g24 = jnp.concatenate(
+    coeffs = gauss_coefficients(hom, xy, opacity)  # [P, 16]
+    g32 = jnp.concatenate(
         [
-            hom.reshape(P_, 9),
-            xy,
-            opacity[:, None],
+            coeffs,
             color,
             normal_view,
             refl[:, None],
             scope_mask.astype(jnp.float32)[:, None],
-            jnp.zeros((P_, F_PAD - 20), jnp.float32),
         ],
         axis=1,
     )  # [P, F_PAD]
     if rank_perm is not None:
         feats = _expand_rows(
-            g24, sorted_gid, valid, rank_perm, rank_of, seg_start, seg_end
+            g32, sorted_gid, valid, rank_perm, rank_of, seg_start, seg_end
         )
     else:
-        feats = jnp.where(valid[:, None], g24[sorted_gid], 0.0)  # [N_cap, F]
+        feats = jnp.where(valid[:, None], g32[sorted_gid], 0.0)  # [N_cap, F]
     return feats.T
 
 
@@ -442,21 +547,13 @@ def pack_features(
 #                       + m_i^2 W>_i - 2 m_i MW>_i)
 # with A_i = 1 - T_i, prefix M1_i/M2_i reconstructed from the saved totals
 # minus suffix sums, W>_i / MW>_i suffix sums, and T_i rebuilt by dividing
-# T out backward (T_i = T_rev * prod_{j>=i}(1-alpha_j)^-1, log-space).
-# Contribution masks are rebuilt from the saved per-pixel n_contrib rank —
-# no termination state needs to be stored (reference saves the same,
-# rasterizer_impl.cu / backward.cu:198-204).
-
-
-def _suffix_incl_sum_rows(x):
-    """Suffix-inclusive cumsum along axis 0: out_i = sum_{j>=i} x_j."""
-    zeros = jnp.zeros_like(x)
-    shift = 1
-    while shift < CI:
-        shifted = jnp.concatenate([x[shift:], zeros[:shift]], axis=0)
-        x = x + shifted
-        shift *= 2
-    return x
+# T out backward (log-space suffix matmul). Alpha gradients route to the
+# log-opacity/rho coefficients (d_s) and split between the 3D intersection
+# (s3) and low-pass (s2) branches exactly as the reference's
+# rho3d <= rho2d test; content gradients are [7, L] x [CI, L] matmuls
+# landing in feature-major rows. Contribution masks are rebuilt from the
+# saved per-pixel n_contrib rank (reference saves the same,
+# backward.cu:198-204).
 
 
 def _tile_blend_bwd_kernel(
@@ -470,8 +567,8 @@ def _tile_blend_bwd_kernel(
     dfeats_init_ref,  # [F_PAD, N_cap] ANY zeros (aliased to output)
     dfeats_ref,  # [F_PAD, N_cap] ANY output (aliased, zero where unwritten)
     state,  # VMEM (16, L) reverse carries
-    fbuf,  # VMEM (F_PAD, CI)
-    gbuf,  # VMEM (F_PAD, CI) grad slab
+    fbuf,  # VMEM (2, F_PAD, CI)
+    gbuf,  # VMEM (2, F_PAD, CI) grad slab
     dma_sem,
     g_sem,
 ):
@@ -480,8 +577,16 @@ def _tile_blend_bwd_kernel(
     count = counts_ref[t]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    pixx = (orgx_ref[t] + lane % TILE).astype(jnp.float32)
-    pixy = (orgy_ref[t] + lane // TILE).astype(jnp.float32)
+    cx = orgx_ref[t] + 7
+    cy = orgy_ref[t] + 7
+    pixx = (lane % TILE - 7).astype(jnp.float32)
+    pixy = (lane // TILE - 7).astype(jnp.float32)
+    cxf = jnp.float32(cx)
+    cyf = jnp.float32(cy)
+    ones1 = jnp.ones((1, L), jnp.float32)
+    basis3 = jnp.concatenate([pixx, pixy, ones1], axis=0)
+    qv = -0.5 * FILTER_INV_SQUARE * (pixx * pixx + pixy * pixy)
+    utri = _utri_incl()
 
     def fw(i):
         return fwd_px_ref[0, i, :].reshape(1, L)
@@ -495,15 +600,21 @@ def _tile_blend_bwd_kernel(
     M2tot = fw(O_M2)
     med_rank_px = fw(O_MEDRANK)
 
-    ct_c0, ct_c1, ct_c2 = ct(O_COL), ct(O_COL + 1), ct(O_COL + 2)
     ct_T = ct(O_T)
     ct_d = ct(O_DEPTH)
-    ct_r = ct(O_REFL)
     ct_dist = ct(O_DIST)
-    ct_n0, ct_n1, ct_n2 = ct(O_NRM), ct(O_NRM + 1), ct(O_NRM + 2)
     ct_med = ct(O_MED)
     ct_m1 = ct(O_M1)
     ct_m2 = ct(O_M2)
+    # content cotangent rows (order matches F_CON..F_CON+6)
+    ct7 = jnp.concatenate(
+        [
+            ct(O_COL), ct(O_COL + 1), ct(O_COL + 2),
+            ct(O_NRM), ct(O_NRM + 1), ct(O_NRM + 2),
+            ct(O_REFL),
+        ],
+        axis=0,
+    )  # [7, L]
 
     # reverse carries rows: 0 T_rev, 1 B, 2 Wsuf, 3 MWsuf, 4 M2Wsuf
     state[:] = jnp.zeros((16, L), jnp.float32)
@@ -553,35 +664,14 @@ def _tile_blend_bwd_kernel(
         def _wait_gprev():
             grad_copy(ci_rev, base).wait()
 
-        def row(i):
-            return fbuf[slot, i, :].reshape(CI, 1)
+        fb = fbuf[slot]
+        g = _chunk_geometry(fb, basis3, ones1, qv, cxf, cyf)
+        alpha, depth = g["alpha"], g["depth"]
+        unstable, ivp = g["unstable"], g["ivp"]
+        p0, p1, p2, dn = g["p0"], g["p1"], g["p2"], g["dn"]
+        r3h, s2, s3, s = g["r3h"], g["s2"], g["s3"], g["s"]
+        ax2p, ay2p = g["ax2p"], g["ay2p"]
 
-        tw0, tw1, tw2 = row(F_TW), row(F_TW + 1), row(F_TW + 2)
-        tu0, tu1, tu2 = row(F_TU), row(F_TU + 1), row(F_TU + 2)
-        tv0, tv1, tv2 = row(F_TV), row(F_TV + 1), row(F_TV + 2)
-
-        k0 = pixx * tw0 - tu0
-        k1 = pixx * tw1 - tu1
-        k2 = pixx * tw2 - tu2
-        l0 = pixy * tw0 - tv0
-        l1 = pixy * tw1 - tv1
-        l2 = pixy * tw2 - tv2
-        p0 = k1 * l2 - k2 * l1
-        p1 = k2 * l0 - k0 * l2
-        p2 = k0 * l1 - k1 * l0
-        unstable = jnp.abs(p2) < 1e-4
-        inv_p2 = 1.0 / jnp.where(unstable, 1.0, p2)
-        sx = jnp.where(unstable, 0.0, p0 * inv_p2)
-        sy = jnp.where(unstable, 0.0, p1 * inv_p2)
-        rho3d = jnp.where(unstable, 1e8, sx * sx + sy * sy)
-        dxm = row(F_XY) - pixx
-        dym = row(F_XY + 1) - pixy
-        rho2d = FILTER_INV_SQUARE * (dxm * dxm + dym * dym)
-        rho = jnp.minimum(rho3d, rho2d)
-        depth = sx * tw0 + sy * tw1 + tw2
-
-        oG = row(F_OPA) * jnp.exp(-0.5 * rho)
-        alpha = jnp.minimum(ALPHA_MAX, oG)
         idx = base + row_i
         rank = (idx - start + 1).astype(jnp.float32)
         accept_local = (
@@ -591,31 +681,28 @@ def _tile_blend_bwd_kernel(
 
         # reconstruct T_i (transmittance before instance i)
         lf = jnp.where(contrib, -jnp.log1p(-alpha), 0.0)
-        suf_lf = _suffix_incl_sum_rows(lf)  # sum_{j>=i}
+        suf_lf = _dot_mm(utri, lf)  # inclusive suffix sum
         T_rev = state[0, :].reshape(1, L)
         T_i = T_rev * jnp.exp(suf_lf)
         w = jnp.where(contrib, alpha * T_i, 0.0)
 
-        safe_depth = jnp.maximum(depth, NEAR_N)
-        m = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N / safe_depth)
+        m, safe_depth = _m_of_depth(depth)
         mw = m * w
-        m2w = m * m * w
+        m2w = m * mw
 
         # suffix sums (within chunk) + carries from later chunks
         Wsuf = state[2, :].reshape(1, L)
         MWsuf = state[3, :].reshape(1, L)
         M2Wsuf = state[4, :].reshape(1, L)
-        W_gt = Wsuf + (_suffix_incl_sum_rows(w) - w)  # sum_{j>i}
-        MW_gt = MWsuf + (_suffix_incl_sum_rows(mw) - mw)
-        M2W_gt = M2Wsuf + (_suffix_incl_sum_rows(m2w) - m2w)
+        suf = _dot_mm(utri, jnp.concatenate([w, mw, m2w], axis=1))  # [CI, 3L]
+        W_gt = Wsuf + (suf[:, :L] - w)  # sum_{j>i}
+        MW_gt = MWsuf + (suf[:, L:2 * L] - mw)
+        M2W_gt = M2Wsuf + (suf[:, 2 * L:] - m2w)
         M1_i = M1tot - MW_gt - mw  # prefix sum_{j<i} m w
         M2_i = M2tot - M2W_gt - m2w
         A_i = 1.0 - T_i
 
-        c0, c1, c2 = row(F_COL), row(F_COL + 1), row(F_COL + 2)
-        n0, n1, n2 = row(F_NRM), row(F_NRM + 1), row(F_NRM + 2)
-        r_ = row(F_REFL)
-
+        # what = content terms (one matmul) + depth/distortion terms
         phi = (
             m * m * A_i
             + M2_i
@@ -624,23 +711,12 @@ def _tile_blend_bwd_kernel(
             - 2.0 * m * MW_gt
         )
         what = (
-            ct_c0 * c0 + ct_c1 * c1 + ct_c2 * c2
-            + ct_n0 * n0 + ct_n1 * n1 + ct_n2 * n2
+            _dot_k(fb[F_CON:F_CON + 7], ct7)
             + ct_d * depth
-            + ct_r * r_
             + ct_m1 * m
             + ct_m2 * m * m
             + ct_dist * phi
         )
-
-        # per-instance content grads (sum over pixels)
-        d_c0 = jnp.sum(w * ct_c0, axis=1)
-        d_c1 = jnp.sum(w * ct_c1, axis=1)
-        d_c2 = jnp.sum(w * ct_c2, axis=1)
-        d_n0 = jnp.sum(w * ct_n0, axis=1)
-        d_n1 = jnp.sum(w * ct_n1, axis=1)
-        d_n2 = jnp.sum(w * ct_n2, axis=1)
-        d_r = jnp.sum(w * ct_r, axis=1)
 
         # depth gradient: direct + via m + median routing
         d_m_tot = (
@@ -658,78 +734,65 @@ def _tile_blend_bwd_kernel(
         )
 
         # alpha gradient
-        B_i = state[1, :].reshape(1, L) + (
-            _suffix_incl_sum_rows(what * w - ct_dist * w * m * m * T_i)
-            - (what * w - ct_dist * w * m * m * T_i)
-        )
+        bterm = what * w - ct_dist * w * m * m * T_i
+        B_i = state[1, :].reshape(1, L) + (_dot_mm(utri, bterm) - bterm)
         d_alpha = jnp.where(
             contrib, T_i * what - B_i / (1.0 - alpha), 0.0
         )
 
-        gate = (oG < ALPHA_MAX).astype(jnp.float32)
-        d_oG = gate * d_alpha
-        d_o = jnp.sum(jnp.exp(-0.5 * rho) * d_oG, axis=1)
-        d_rho = -0.5 * oG * d_oG
+        # alpha = exp(min(log a_max, s)); route d_s to the s3/s2 branch
+        gate = (s < LOG_AMAX).astype(jnp.float32)
+        d_s = alpha * gate * d_alpha
+        use3 = (s3 >= s2) & ~unstable  # reference rho3d <= rho2d branch
+        d_s3 = jnp.where(use3, d_s, 0.0)
+        d_s2 = jnp.where(use3, 0.0, d_s)
 
-        use3d = (rho3d <= rho2d) & ~unstable
-        d_sx = jnp.where(use3d, 2.0 * sx * d_rho, 0.0)
-        d_sy = jnp.where(use3d, 2.0 * sy * d_rho, 0.0)
-        # depth = sx tw0 + sy tw1 + tw2 (s fixed at 0 when unstable)
-        d_sx += jnp.where(unstable, 0.0, tw0 * d_depth)
-        d_sy += jnp.where(unstable, 0.0, tw1 * d_depth)
-        d_rho2d = jnp.where(use3d, 0.0, d_rho)
-        d_xy0 = jnp.sum(2.0 * FILTER_INV_SQUARE * dxm * d_rho2d, axis=1)
-        d_xy1 = jnp.sum(2.0 * FILTER_INV_SQUARE * dym * d_rho2d, axis=1)
+        # s3 = lo - 0.5 (p0^2 + p1^2) ivp^2
+        d_p0 = -d_s3 * p0 * (ivp * ivp)
+        d_p1 = -d_s3 * p1 * (ivp * ivp)
+        d_p2 = d_s3 * 2.0 * r3h * ivp
 
-        d_p0 = d_sx * inv_p2 * jnp.where(unstable, 0.0, 1.0)
-        d_p1 = d_sy * inv_p2 * jnp.where(unstable, 0.0, 1.0)
-        d_p2 = -(sx * d_sx + sy * d_sy) * inv_p2
+        # depth = dn * ivp (stable) | tw2 (unstable)
+        stable_f = (~unstable).astype(jnp.float32)
+        d_dn = d_depth * ivp * stable_f
+        d_p2 += -dn * (ivp * ivp) * d_depth * stable_f
+        d_tw2_mat = jnp.where(unstable, d_depth, 0.0)
 
-        # p = k x l  =>  k^ = l x p^,  l^ = p^ x k
-        d_k0 = l1 * d_p2 - l2 * d_p1
-        d_k1 = l2 * d_p0 - l0 * d_p2
-        d_k2 = l0 * d_p1 - l1 * d_p0
-        d_l0 = d_p1 * k2 - d_p2 * k1
-        d_l1 = d_p2 * k0 - d_p0 * k2
-        d_l2 = d_p0 * k1 - d_p1 * k0
+        # coefficient gradients: ONE batched [3, L] x [5 CI, L] matmul on
+        # the recentered basis, then the per-instance chains back to the
+        # stored (origin-based) coefficients: c' = c + cx a + cy b and the
+        # low-pass constant c2p = -(ax2p^2 + ay2p^2)/(2 FI) + lo.
+        d_cat = jnp.concatenate([d_p0, d_p1, d_p2, d_dn, d_s2], axis=0)
+        d_coef = _dot_px(basis3, d_cat)  # [3, 5 CI]
 
-        d_tu0 = jnp.sum(-d_k0, axis=1)
-        d_tu1 = jnp.sum(-d_k1, axis=1)
-        d_tu2 = jnp.sum(-d_k2, axis=1)
-        d_tv0 = jnp.sum(-d_l0, axis=1)
-        d_tv1 = jnp.sum(-d_l1, axis=1)
-        d_tv2 = jnp.sum(-d_l2, axis=1)
-        d_tw0 = jnp.sum(pixx * d_k0 + pixy * d_l0 + sx * d_depth, axis=1)
-        d_tw1 = jnp.sum(pixx * d_k1 + pixy * d_l1 + sy * d_depth, axis=1)
-        d_tw2 = jnp.sum(pixx * d_k2 + pixy * d_l2 + d_depth, axis=1)
+        def chain_rc(blk):  # [3, CI] recentered grads -> origin grads
+            d_c = blk[2:3]
+            return jnp.concatenate(
+                [blk[0:1] + cxf * d_c, blk[1:2] + cyf * d_c, d_c], axis=0
+            )
+
+        fi = FILTER_INV_SQUARE
+        blk2 = d_coef[:, 4 * CI:5 * CI]
+        d_c2p = blk2[2:3]
+        small = _dot_px(ones1, jnp.concatenate([d_s3, d_tw2_mat], axis=0))
 
         gbuf[slot] = jnp.zeros((F_PAD, CI), jnp.float32)
-        gbuf[slot, F_TU, :] = d_tu0
-        gbuf[slot, F_TU + 1, :] = d_tu1
-        gbuf[slot, F_TU + 2, :] = d_tu2
-        gbuf[slot, F_TV, :] = d_tv0
-        gbuf[slot, F_TV + 1, :] = d_tv1
-        gbuf[slot, F_TV + 2, :] = d_tv2
-        gbuf[slot, F_TW, :] = d_tw0
-        gbuf[slot, F_TW + 1, :] = d_tw1
-        gbuf[slot, F_TW + 2, :] = d_tw2
-        gbuf[slot, F_XY, :] = d_xy0
-        gbuf[slot, F_XY + 1, :] = d_xy1
-        gbuf[slot, F_OPA, :] = d_o
-        gbuf[slot, F_COL, :] = d_c0
-        gbuf[slot, F_COL + 1, :] = d_c1
-        gbuf[slot, F_COL + 2, :] = d_c2
-        gbuf[slot, F_NRM, :] = d_n0
-        gbuf[slot, F_NRM + 1, :] = d_n1
-        gbuf[slot, F_NRM + 2, :] = d_n2
-        gbuf[slot, F_REFL, :] = d_r
+        gbuf[slot, F_CP0:F_CP0 + 3, :] = chain_rc(d_coef[:, 0:CI])
+        gbuf[slot, F_CP1:F_CP1 + 3, :] = chain_rc(d_coef[:, CI:2 * CI])
+        gbuf[slot, F_CP2:F_CP2 + 3, :] = chain_rc(d_coef[:, 2 * CI:3 * CI])
+        gbuf[slot, F_CDN:F_CDN + 3, :] = chain_rc(d_coef[:, 3 * CI:4 * CI])
+        gbuf[slot, F_AX2, :] = (blk2[0:1] - d_c2p * ax2p * (1.0 / fi))[0]
+        gbuf[slot, F_AY2, :] = (blk2[1:2] - d_c2p * ay2p * (1.0 / fi))[0]
+        gbuf[slot, F_LO, :] = small[0, 0:CI] + d_c2p[0]
+        gbuf[slot, F_TW2, :] = small[0, CI:2 * CI]
+        gbuf[slot, F_CON:F_CON + 7, :] = _dot_px(ct7, w)
         grad_copy(ci_rev, base).start()
 
         # update reverse carries for the next (earlier) chunk
         state[0, :] = (T_rev * jnp.exp(jnp.sum(lf, axis=0, keepdims=True))).reshape(L)
         state[1, :] = (
             state[1, :].reshape(1, L)
-            + jnp.sum(what * w - ct_dist * w * m * m * T_i, axis=0, keepdims=True)
+            + jnp.sum(bterm, axis=0, keepdims=True)
         ).reshape(L)
         state[2, :] = (Wsuf + jnp.sum(w, axis=0, keepdims=True)).reshape(L)
         state[3, :] = (MWsuf + jnp.sum(mw, axis=0, keepdims=True)).reshape(L)
