@@ -188,62 +188,156 @@ def _index_add_sort(idx_flat: jnp.ndarray, rows: jnp.ndarray, M: int) -> jnp.nda
 
 
 # ---------------------------------------------------------------------------
-# Unified 4-tap blend: every bilinear/seamless sample (interior, edge, and
-# 3-texel corner average) is out = sum_t w_t * tex_flat[idx_t]. The custom
-# VJP routes the texel gradient through the MXU tap-accumulation kernel
-# (kernels/cubemap_accum.py) instead of a 4*H*W-tap sort — the separable
-# auxiliaries (sep_i/sep_f) let interior pixels collapse their 4 taps into
-# one matmul. Tap-weight gradients (-> kx/ky -> direction gradients, the
-# path that drives normals in deferred reflection) come from the saved tap
-# values.
+# Unified 4-tap sample: every bilinear/seamless lookup (interior, edge, and
+# 3-texel corner average) is out = sum_t w_t(kx, ky) * tex_flat[idx_t]. The
+# custom VJP routes BOTH directions through MXU one-hot matmul kernels
+# (kernels/cubemap_accum.py): the forward emits the sample plus the
+# tap-weight derivative blends gx/gy (-> kx/ky -> direction gradients, the
+# path that drives normals in deferred reflection), and the texel gradient
+# accumulates via the tap-accumulation kernel — no TPU row gathers, no
+# sorts, deterministic.
+
+
+def _w4_terms(kx, ky, vert):
+    """Tap weights and their kx/ky derivatives, with the corner ("vertex")
+    case's 3-texel average folded in (cubemapencoder.cu:235-240)."""
+    a, b = 1.0 - kx, 1.0 - ky
+    t = vert / 3.0
+    w4 = jnp.stack([
+        b * a + t * (ky * kx),
+        b * kx + t * (ky * kx),
+        ky * a + t * (ky * kx),
+        (1.0 - vert) * ky * kx,
+    ])
+    wx4 = jnp.stack([
+        -b + t * ky,
+        b + t * ky,
+        -ky + t * ky,
+        (1.0 - vert) * ky,
+    ])
+    wy4 = jnp.stack([
+        -a + t * kx,
+        -kx + t * kx,
+        a + t * kx,
+        (1.0 - vert) * kx,
+    ])
+    return w4, wx4, wy4
+
+
+def _kernel_ok(M: int, C: int) -> bool:
+    from tpu_splat.kernels.cubemap_accum import supported_resolution
+
+    L = int(round((M / 6) ** 0.5))
+    return 6 * L * L == M and supported_resolution(L, C)
+
+
+# The matmul forward sampler measured SLOWER than XLA row gathers at 1080p
+# (193 ms vs 114 ms on a v5e) — gathers win the forward while the tap
+# accumulation kernel wins the backward. Flip to re-evaluate after kernel
+# tuning.
+USE_MM_FORWARD = False
+
+
+def _sample4_impl(tex_flat, kx, ky, vert, idx4, sep_i, sep_m):
+    from tpu_splat.kernels.cubemap_accum import cubemap_sample_mm
+
+    M, C = tex_flat.shape
+    w4, wx4, wy4 = _w4_terms(kx, ky, vert)
+    if USE_MM_FORWARD and _kernel_ok(M, C):
+        L = int(round((M / 6) ** 0.5))
+        shape = kx.shape
+        N = kx.size
+        gm = (1.0 - sep_m).reshape(1, N)
+        out, gx, gy = cubemap_sample_mm(
+            tex_flat,
+            (idx4 // L).reshape(4, N).astype(jnp.int32),
+            (idx4 % L).reshape(4, N).astype(jnp.int32),
+            w4.reshape(4, N) * gm,
+            wx4.reshape(4, N) * gm,
+            wy4.reshape(4, N) * gm,
+            sep_i[0].reshape(N), sep_i[1].reshape(N),
+            sep_i[2].reshape(N), sep_i[3].reshape(N),
+            ky.reshape(N), kx.reshape(N), sep_m.reshape(N),
+            L=L, C=C,
+        )
+        rs = lambda x: x.reshape(*shape, C)
+        return rs(out), rs(gx), rs(gy)
+    vals = tex_flat[idx4]  # [4, ..., C]
+    out = jnp.sum(w4[..., None] * vals, axis=0)
+    gx = jnp.sum(wx4[..., None] * vals, axis=0)
+    gy = jnp.sum(wy4[..., None] * vals, axis=0)
+    return out, gx, gy
 
 
 @jax.custom_vjp
-def _blend4(tex_flat, w4, idx4, sep_i, sep_f):
-    vals = tex_flat[idx4]  # [4, ..., C]
-    return jnp.sum(w4[..., None] * vals, axis=0)
+def _sample4(tex_flat, kx, ky, vert, idx4, sep_i, sep_m):
+    out, _gx, _gy = _sample4_impl(tex_flat, kx, ky, vert, idx4, sep_i, sep_m)
+    return out
 
 
-def _blend4_fwd(tex_flat, w4, idx4, sep_i, sep_f):
-    vals = tex_flat[idx4]
-    out = jnp.sum(w4[..., None] * vals, axis=0)
-    return out, (w4, idx4, vals, sep_i, sep_f, tex_flat.shape[0])
+def _sample4_fwd(tex_flat, kx, ky, vert, idx4, sep_i, sep_m):
+    out, gx, gy = _sample4_impl(tex_flat, kx, ky, vert, idx4, sep_i, sep_m)
+    return out, (gx, gy, kx, ky, vert, idx4, sep_i, sep_m, tex_flat.shape[0])
 
 
-def _blend4_bwd(res, g):
-    from tpu_splat.kernels.cubemap_accum import (
-        cubemap_tap_accumulate,
-        supported_resolution,
-    )
+def _tileorder(shape):
+    """Flattener: [H, W] image order -> 16x32 tile-major order, so that
+    face-edge pixels (which lie on smooth curves in reflection maps) cluster
+    into few kernel blocks instead of touching every row-major strip. The
+    tap accumulation is order-independent, so no inverse is needed."""
+    if len(shape) == 2 and shape[0] % 16 == 0 and shape[1] % 32 == 0:
+        H, W = shape
+        ty, tx = H // 16, W // 32
 
-    w4, idx4, vals, sep_i, sep_f, M = res
-    C = vals.shape[-1]
-    L = int(round((M / 6) ** 0.5))
-    d_w4 = jnp.sum(vals * g[None], axis=-1)  # [4, ...]
+        def flat(a):  # [..., leading H, W dims first]
+            a = a.reshape(a.shape[:-2] + (ty, 16, tx, 32))
+            a = jnp.swapaxes(a, -3, -2)
+            return a.reshape(a.shape[:-4] + (H * W,))
 
-    gN = g.reshape(-1, C)
-    N = gN.shape[0]
-    idxN = idx4.reshape(4, N)
-    w4N = w4.reshape(4, N)
-    if supported_resolution(L, C) and 6 * L * L == M:
-        sep_m = sep_f[2].reshape(N)
+        return flat
+    n = 1
+    for d in shape:
+        n *= d
+    return lambda a: a.reshape(a.shape[: a.ndim - len(shape)] + (n,))
+
+
+def _sample4_bwd(res, g):
+    from tpu_splat.kernels.cubemap_accum import cubemap_tap_accumulate
+
+    gx, gy, kx, ky, vert, idx4, sep_i, sep_m, M = res
+    C = g.shape[-1]
+    d_kx = jnp.sum(gx * g, axis=-1)
+    d_ky = jnp.sum(gy * g, axis=-1)
+
+    w4, _, _ = _w4_terms(kx, ky, vert)
+    if _kernel_ok(M, C):
+        L = int(round((M / 6) ** 0.5))
+        flat = _tileorder(kx.shape)
+        gN = jnp.moveaxis(flat(jnp.moveaxis(g, -1, 0)), 0, -1)
+        idxN = flat(idx4)
+        w4N = flat(w4)
+        sm = flat(sep_m)
         d_tex = cubemap_tap_accumulate(
             gN,
             (idxN // L).astype(jnp.int32),
             (idxN % L).astype(jnp.int32),
-            w4N * (1.0 - sep_m)[None],
-            sep_i[0].reshape(N), sep_i[1].reshape(N),
-            sep_i[2].reshape(N), sep_i[3].reshape(N),
-            sep_f[0].reshape(N), sep_f[1].reshape(N), sep_m,
+            w4N * (1.0 - sm)[None],
+            flat(sep_i[0]), flat(sep_i[1]),
+            flat(sep_i[2]), flat(sep_i[3]),
+            flat(ky), flat(kx), sm,
             L=L, C=C,
         )
     else:
+        gN = g.reshape(-1, C)
+        N = gN.shape[0]
+        idxN = idx4.reshape(4, N)
+        w4N = w4.reshape(4, N)
         rows = (w4N[..., None] * gN[None]).reshape(4 * N, C)
         d_tex = _index_add_sort(idxN.reshape(4 * N), rows, M)
-    return d_tex, d_w4, None, None, jnp.zeros_like(sep_f)
+    return d_tex, d_kx, d_ky, jnp.zeros_like(vert), None, None, jnp.zeros_like(sep_m)
 
 
-_blend4.defvjp(_blend4_fwd, _blend4_bwd)
+_sample4.defvjp(_sample4_fwd, _sample4_bwd)
 
 
 def _tex_gather(texture: jnp.ndarray, face, x, y):
@@ -353,31 +447,20 @@ def sample_cubemap(
         else:
             raise ValueError(f"unknown interp {interp!r}")
 
-        # unified 4-tap weighted blend: the corner ("vertex") case's
-        # 3-texel average of the missing 4th tap folds into the other three
-        # (cubemapencoder.cu:235-240 semantics)
-        w00 = (1 - ky) * (1 - kx)
-        w01 = (1 - ky) * kx
-        w10 = ky * (1 - kx)
-        w11 = ky * kx
-        third = w11 / 3.0
-        w00 = jnp.where(is_vertex, w00 + third, w00)
-        w01 = jnp.where(is_vertex, w01 + third, w01)
-        w10 = jnp.where(is_vertex, w10 + third, w10)
-        w11 = jnp.where(is_vertex, 0.0, w11)
-
+        # unified 4-tap weighted sample; the corner ("vertex") folding and
+        # all weight math live inside the _sample4 custom-VJP boundary
         flat = lambda t: (t[0] * L + t[2]) * L + t[1]
         idx4 = jnp.stack([flat(t00), flat(t01), flat(t10), flat(t11)])
-        w4 = jnp.stack([w00, w01, w10, w11])
-        sg = jax.lax.stop_gradient
         sep_i = jnp.stack(
             [face * L + y0, face * L + y1, x0, x1]
         ).astype(jnp.int32)
-        sep_f = jnp.stack([sg(ky), sg(kx), sep_m])
         tex_flat = params.texture.transpose(0, 2, 3, 1).reshape(
             -1, params.texture.shape[1]
         )
-        out = _blend4(tex_flat, w4, idx4, sep_i, sep_f)
+        out = _sample4(
+            tex_flat, kx, ky, is_vertex.astype(jnp.float32), idx4, sep_i,
+            jax.lax.stop_gradient(sep_m),
+        )
 
     out = jnp.where(fail[..., None], params.fail_value, out)
     return out

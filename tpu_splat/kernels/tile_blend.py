@@ -124,6 +124,50 @@ def _dot_px(rows, mat):
     )
 
 
+USE_SCAN_DOTS = False  # A/B: triangular-matmul scans vs Hillis-Steele shifts
+
+
+def _incl_cumsum_rows(x):
+    """Inclusive cumsum along axis 0 (instances), Hillis-Steele shifts."""
+    zeros = jnp.zeros_like(x)
+    shift = 1
+    while shift < CI:
+        shifted = jnp.concatenate([zeros[:shift], x[:-shift]], axis=0)
+        x = x + shifted
+        shift *= 2
+    return x
+
+
+def _suffix_incl_sum_rows(x):
+    """Suffix-inclusive cumsum along axis 0: out_i = sum_{j>=i} x_j."""
+    zeros = jnp.zeros_like(x)
+    shift = 1
+    while shift < CI:
+        shifted = jnp.concatenate([x[shift:], zeros[:shift]], axis=0)
+        x = x + shifted
+        shift *= 2
+    return x
+
+
+def _dot_scan(tri, x, precision):
+    return jax.lax.dot_general(
+        tri, x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+
+def _excl_cumsum(x, ltri, precision=jax.lax.Precision.HIGH):
+    if USE_SCAN_DOTS:
+        return _dot_scan(ltri, x, precision)
+    return _incl_cumsum_rows(x) - x
+
+
+def _suffix_incl(x, utri, precision=jax.lax.Precision.HIGH):
+    if USE_SCAN_DOTS:
+        return _dot_scan(utri, x, precision)
+    return _suffix_incl_sum_rows(x)
+
+
 def _ltri_strict():
     """[CI, CI] strict lower-triangular ones: Lstrict @ v = exclusive cumsum."""
     i = jax.lax.broadcasted_iota(jnp.int32, (CI, CI), 0)
@@ -138,43 +182,45 @@ def _utri_incl():
     return (j >= i).astype(jnp.float32)
 
 
-def _recentered_rows(fb, g, cx, cy):
-    """[3, CI] coefficient rows of one linear form, constant re-derived at
-    the tile center: c' = c + cx*a + cy*b."""
-    a = fb[g:g + 1]
-    b = fb[g + 1:g + 2]
-    c = fb[g + 2:g + 3]
-    return jnp.concatenate([a, b, c + cx * a + cy * b], axis=0)
+def _chunk_geometry(fb, pixx, pixy, qv, cx, cy):
+    """Shared forward geometry on the tile-recentered basis.
 
-
-def _chunk_geometry(fb, basis3, ones1, qv, cx, cy):
-    """Shared forward geometry: coefficient matmuls + alpha/depth.
-
-    fb: [F_PAD, CI] feature slab value; basis3 is the tile-recentered
-    (x', y', 1). Returns dict of [CI, L] arrays."""
+    fb: [F_PAD, CI] feature slab value. ONE [F, CI] -> [CI, F] transpose
+    puts every coefficient in [CI, 1] broadcast position; the linear forms
+    are then plain FMAs against the [1, L] pixel rows (cheaper on this
+    hardware than small-K MXU dots, which pad K). Returns [CI, L] arrays."""
     fi = FILTER_INV_SQUARE
-    p0 = _dot_k(_recentered_rows(fb, F_CP0, cx, cy), basis3)
-    p1 = _dot_k(_recentered_rows(fb, F_CP1, cx, cy), basis3)
-    p2 = _dot_k(_recentered_rows(fb, F_CP2, cx, cy), basis3)
-    dn = _dot_k(_recentered_rows(fb, F_CDN, cx, cy), basis3)
-    ax2p = fb[F_AX2:F_AX2 + 1] - fi * cx  # FI * (xy.x - cx)
-    ay2p = fb[F_AY2:F_AY2 + 1] - fi * cy
-    c2p = -(ax2p * ax2p + ay2p * ay2p) * (0.5 / fi) + fb[F_LO:F_LO + 1]
-    s2 = _dot_k(jnp.concatenate([ax2p, ay2p, c2p], axis=0), basis3) + qv
-    lo = _dot_k(fb[F_LO:F_LO + 1], ones1)
-    tw2 = _dot_k(fb[F_TW2:F_TW2 + 1], ones1)
+    ft = jnp.transpose(fb)  # [CI, F_PAD]
+
+    def col(k):
+        return ft[:, k:k + 1]  # [CI, 1]
+
+    def linform(g):
+        a, b, c = col(g), col(g + 1), col(g + 2)
+        return a * pixx + b * pixy + (c + cx * a + cy * b)
+
+    p0 = linform(F_CP0)
+    p1 = linform(F_CP1)
+    p2 = linform(F_CP2)
+    dn = linform(F_CDN)
+    ax2p = col(F_AX2) - fi * cx  # FI * (xy.x - cx)
+    ay2p = col(F_AY2) - fi * cy
+    lo_c = col(F_LO)
+    c2p = -(ax2p * ax2p + ay2p * ay2p) * (0.5 / fi) + lo_c
+    s2 = ax2p * pixx + ay2p * pixy + c2p + qv
 
     unstable = jnp.abs(p2) < 1e-4
     ivp = 1.0 / jnp.where(unstable, 1.0, p2)
     r3h = 0.5 * (p0 * p0 + p1 * p1) * (ivp * ivp)  # rho3d / 2
-    s3 = jnp.where(unstable, -1e8, lo - r3h)
+    s3 = jnp.where(unstable, -1e8, lo_c - r3h)
     s = jnp.maximum(s3, s2)
     a_log = jnp.minimum(LOG_AMAX, s)
     alpha = jnp.exp(a_log)
-    depth = jnp.where(unstable, tw2, dn * ivp)
+    depth = jnp.where(unstable, col(F_TW2) * jnp.ones_like(p2), dn * ivp)
     return dict(
         p0=p0, p1=p1, p2=p2, dn=dn, s2=s2, s3=s3, s=s, unstable=unstable,
         ivp=ivp, r3h=r3h, alpha=alpha, depth=depth, ax2p=ax2p, ay2p=ay2p,
+        ft=ft,
     )
 
 
@@ -215,8 +261,6 @@ def _tile_blend_kernel(
     pixy = (lane // TILE - 7).astype(jnp.float32)
     cxf = jnp.float32(cx)
     cyf = jnp.float32(cy)
-    ones1 = jnp.ones((1, L), jnp.float32)
-    basis3 = jnp.concatenate([pixx, pixy, ones1], axis=0)  # [3, L]
     qv = -0.5 * FILTER_INV_SQUARE * (pixx * pixx + pixy * pixy)  # [1, L]
     ltri = _ltri_strict()
 
@@ -266,7 +310,7 @@ def _tile_blend_kernel(
             feat_dma(ci + 1, (ci + 1) % 2).start()
 
         fb = fbuf[slot]
-        g = _chunk_geometry(fb, basis3, ones1, qv, cxf, cyf)
+        g = _chunk_geometry(fb, pixx, pixy, qv, cxf, cyf)
         alpha, depth = g["alpha"], g["depth"]
 
         idx = base + row_i
@@ -277,12 +321,12 @@ def _tile_blend_kernel(
 
         # exclusive prefix product of (1 - a) as a log-space triangular matmul
         u = jnp.log1p(-a_eff)
-        prefix = jnp.exp(_dot_mm(ltri, u))
+        prefix = jnp.exp(_excl_cumsum(u, ltri))
         T_carry = state[O_T, :].reshape(1, L)
         T_before = T_carry * prefix
         trigger = accept & (T_before * (1.0 - alpha) < T_EPS)
         trig_f = trigger.astype(jnp.float32)
-        term_excl = _dot_mm(ltri, trig_f) > 0.0
+        term_excl = _excl_cumsum(trig_f, ltri, jax.lax.Precision.DEFAULT) > 0.0
         contrib = accept & ~term_excl & ~trigger
         w = jnp.where(contrib, alpha * T_before, 0.0)
 
@@ -306,7 +350,7 @@ def _tile_blend_kernel(
         m, _sd = _m_of_depth(depth)
         mw = m * w
         m2w = m * mw
-        pre = _dot_mm(ltri, jnp.concatenate([mw, m2w], axis=1))  # [CI, 2L]
+        pre = _excl_cumsum(jnp.concatenate([mw, m2w], axis=1), ltri)  # [CI, 2L]
         A = 1.0 - T_before
         M1c = state[O_M1, :].reshape(1, L) + pre[:, :L]
         M2c = state[O_M2, :].reshape(1, L) + pre[:, L:]
@@ -665,12 +709,14 @@ def _tile_blend_bwd_kernel(
             grad_copy(ci_rev, base).wait()
 
         fb = fbuf[slot]
-        g = _chunk_geometry(fb, basis3, ones1, qv, cxf, cyf)
+        g = _chunk_geometry(fb, pixx, pixy, qv, cxf, cyf)
         alpha, depth = g["alpha"], g["depth"]
         unstable, ivp = g["unstable"], g["ivp"]
         p0, p1, p2, dn = g["p0"], g["p1"], g["p2"], g["dn"]
         r3h, s2, s3, s = g["r3h"], g["s2"], g["s3"], g["s"]
-        ax2p, ay2p = g["ax2p"], g["ay2p"]
+        # [CI, 1] slab columns -> [1, CI] rows for the gbuf writes below
+        ax2p = jnp.transpose(g["ax2p"])
+        ay2p = jnp.transpose(g["ay2p"])
 
         idx = base + row_i
         rank = (idx - start + 1).astype(jnp.float32)
@@ -681,7 +727,7 @@ def _tile_blend_bwd_kernel(
 
         # reconstruct T_i (transmittance before instance i)
         lf = jnp.where(contrib, -jnp.log1p(-alpha), 0.0)
-        suf_lf = _dot_mm(utri, lf)  # inclusive suffix sum
+        suf_lf = _suffix_incl(lf, utri)  # inclusive suffix sum
         T_rev = state[0, :].reshape(1, L)
         T_i = T_rev * jnp.exp(suf_lf)
         w = jnp.where(contrib, alpha * T_i, 0.0)
@@ -694,7 +740,7 @@ def _tile_blend_bwd_kernel(
         Wsuf = state[2, :].reshape(1, L)
         MWsuf = state[3, :].reshape(1, L)
         M2Wsuf = state[4, :].reshape(1, L)
-        suf = _dot_mm(utri, jnp.concatenate([w, mw, m2w], axis=1))  # [CI, 3L]
+        suf = _suffix_incl(jnp.concatenate([w, mw, m2w], axis=1), utri)  # [CI, 3L]
         W_gt = Wsuf + (suf[:, :L] - w)  # sum_{j>i}
         MW_gt = MWsuf + (suf[:, L:2 * L] - mw)
         M2W_gt = M2Wsuf + (suf[:, 2 * L:] - m2w)
@@ -702,7 +748,12 @@ def _tile_blend_bwd_kernel(
         M2_i = M2tot - M2W_gt - m2w
         A_i = 1.0 - T_i
 
-        # what = content terms (one matmul) + depth/distortion terms
+        # what = content terms + depth/distortion terms; content uses the
+        # already-transposed slab ([CI,1] x [1,L] FMAs, no small-K dot)
+        ft = g["ft"]
+        what_content = ft[:, F_CON:F_CON + 1] * ct7[0:1]
+        for r in range(1, 7):
+            what_content += ft[:, F_CON + r:F_CON + r + 1] * ct7[r:r + 1]
         phi = (
             m * m * A_i
             + M2_i
@@ -711,7 +762,7 @@ def _tile_blend_bwd_kernel(
             - 2.0 * m * MW_gt
         )
         what = (
-            _dot_k(fb[F_CON:F_CON + 7], ct7)
+            what_content
             + ct_d * depth
             + ct_m1 * m
             + ct_m2 * m * m
@@ -735,7 +786,7 @@ def _tile_blend_bwd_kernel(
 
         # alpha gradient
         bterm = what * w - ct_dist * w * m * m * T_i
-        B_i = state[1, :].reshape(1, L) + (_dot_mm(utri, bterm) - bterm)
+        B_i = state[1, :].reshape(1, L) + (_suffix_incl(bterm, utri) - bterm)
         d_alpha = jnp.where(
             contrib, T_i * what - B_i / (1.0 - alpha), 0.0
         )
@@ -758,13 +809,11 @@ def _tile_blend_bwd_kernel(
         d_p2 += -dn * (ivp * ivp) * d_depth * stable_f
         d_tw2_mat = jnp.where(unstable, d_depth, 0.0)
 
-        # coefficient gradients: ONE batched [3, L] x [5 CI, L] matmul on
-        # the recentered basis, then the per-instance chains back to the
-        # stored (origin-based) coefficients: c' = c + cx a + cy b and the
-        # low-pass constant c2p = -(ax2p^2 + ay2p^2)/(2 FI) + lo.
-        d_cat = jnp.concatenate([d_p0, d_p1, d_p2, d_dn, d_s2], axis=0)
-        d_coef = _dot_px(basis3, d_cat)  # [3, 5 CI]
-
+        # coefficient gradients: per-form [3, L] x [CI, L] matmuls on the
+        # recentered basis (K = L, one MXU pass each; no concat copies),
+        # then the per-instance chains back to the stored (origin-based)
+        # coefficients: c' = c + cx a + cy b and the low-pass constant
+        # c2p = -(ax2p^2 + ay2p^2)/(2 FI) + lo.
         def chain_rc(blk):  # [3, CI] recentered grads -> origin grads
             d_c = blk[2:3]
             return jnp.concatenate(
@@ -772,6 +821,8 @@ def _tile_blend_bwd_kernel(
             )
 
         fi = FILTER_INV_SQUARE
+        d_cat = jnp.concatenate([d_p0, d_p1, d_p2, d_dn, d_s2], axis=0)
+        d_coef = _dot_px(basis3, d_cat)  # [3, 5 CI]
         blk2 = d_coef[:, 4 * CI:5 * CI]
         d_c2p = blk2[2:3]
         small = _dot_px(ones1, jnp.concatenate([d_s3, d_tw2_mat], axis=0))

@@ -154,12 +154,18 @@ def render(
     normal_world = _safe_normalize(normal_world)
 
     refl_map = out.refl_map[..., None]
-    refl_color = get_refl_color(state.env, camera, normal_world)
-    final = (1.0 - refl_map) * out.color + refl_map * refl_color
-
-    initial = jnp.asarray(initial_stage)
-    render_img = jnp.where(initial, out.color, final)
-    refl_color = jnp.where(initial, jnp.zeros_like(refl_color), refl_color)
+    if isinstance(initial_stage, bool) and initial_stage:
+        # static specialization: XLA does not fold a select against a
+        # broadcasted constant predicate, so the env pass (~200 ms at 1080p)
+        # would be computed and thrown away every initial-stage step
+        render_img = out.color
+        refl_color = jnp.zeros_like(out.color)
+    else:
+        refl_color = get_refl_color(state.env, camera, normal_world)
+        final = (1.0 - refl_map) * out.color + refl_map * refl_color
+        initial = jnp.asarray(initial_stage)
+        render_img = jnp.where(initial, out.color, final)
+        refl_color = jnp.where(initial, jnp.zeros_like(refl_color), refl_color)
 
     return RenderOutput(
         render=render_img,
