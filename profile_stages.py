@@ -72,7 +72,7 @@ def main():
     if on_tpu:
         H, W, n, capacity = 1088, 1920, 1_000_000, 1 << 20
         cfg = RasterConfig(
-            max_tiles_per_gaussian=32, max_instances=1 << 22,
+            max_tiles_per_gaussian=32, max_instances=3_670_016,
             tile_depth=2048, chunk=32, backend="pallas",
         )
     else:

@@ -172,18 +172,25 @@ def preprocess(
     )
     radius = radius_f.astype(jnp.int32)
 
-    # Tile rect (auxiliary.h:71-81 getRect)
+    # Tile rect from the PER-AXIS ellipse AABB (tighter than the reference's
+    # circular getRect, auxiliary.h:71-81, which uses max(extent) on both
+    # axes): anisotropic splats touch ~2-3x fewer tiles, shrinking the
+    # instance stream through sort/pack/blend. The per-axis floor
+    # CUTOFF*FILTER_SIZE covers the low-pass (rho2d) footprint, so only
+    # sub-1/255-ish tail contributions beyond the 3-sigma box differ.
+    rx = jnp.ceil(jnp.maximum(extent[..., 0], CUTOFF * FILTER_SIZE))
+    ry = jnp.ceil(jnp.maximum(extent[..., 1], CUTOFF * FILTER_SIZE))
     rect_min = jnp.stack(
         [
-            jnp.clip(jnp.floor((center[..., 0] - radius_f) / TILE), 0, tiles_x),
-            jnp.clip(jnp.floor((center[..., 1] - radius_f) / TILE), 0, tiles_y),
+            jnp.clip(jnp.floor((center[..., 0] - rx) / TILE), 0, tiles_x),
+            jnp.clip(jnp.floor((center[..., 1] - ry) / TILE), 0, tiles_y),
         ],
         axis=-1,
     ).astype(jnp.int32)
     rect_max = jnp.stack(
         [
-            jnp.clip(jnp.floor((center[..., 0] + radius_f + TILE - 1) / TILE), 0, tiles_x),
-            jnp.clip(jnp.floor((center[..., 1] + radius_f + TILE - 1) / TILE), 0, tiles_y),
+            jnp.clip(jnp.floor((center[..., 0] + rx + TILE - 1) / TILE), 0, tiles_x),
+            jnp.clip(jnp.floor((center[..., 1] + ry + TILE - 1) / TILE), 0, tiles_y),
         ],
         axis=-1,
     ).astype(jnp.int32)
