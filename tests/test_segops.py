@@ -126,3 +126,30 @@ def test_segment_sum_ranges_matches_oracle():
             )
         ).T
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_segment_sum_rows_matches_oracle():
+    """Row-major variant of the Pallas segment kernel vs the jnp oracle."""
+    import jax.numpy as jnp
+
+    from tpu_splat.core.segops import segment_sum_sorted
+    from tpu_splat.kernels.segment_reduce import segment_sum_rows
+
+    rng = np.random.default_rng(4)
+    for n, f, p in [(2048, 24, 300), (1024, 3, 513), (512, 20, 1)]:
+        areas = rng.integers(0, 6, p)
+        total = min(int(areas.sum()), n)
+        starts = np.minimum(np.cumsum(areas) - areas, total).astype(np.int32)
+        ends = np.minimum(starts + areas, total).astype(np.int32)
+        rows = rng.normal(size=(n, f)).astype(np.float32)
+        ref = np.asarray(
+            segment_sum_sorted(
+                jnp.asarray(rows), jnp.asarray(starts), jnp.asarray(ends)
+            )
+        )
+        got = np.asarray(
+            segment_sum_rows(
+                jnp.asarray(rows), jnp.asarray(starts), jnp.asarray(ends)
+            )
+        )
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

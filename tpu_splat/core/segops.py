@@ -83,7 +83,10 @@ def segment_max_sorted(
     fill: float = 0.0,
 ) -> jnp.ndarray:
     """Per-segment max via one stable two-key sort: within each key run,
-    ascending value order puts the max at the run's end. -> [P]."""
+    ascending value order puts the max at the run's end. -> [P].
+    Requires DUPLICATED keys per run (e.g. rank keys) — with unique keys the
+    value never participates in the ordering and seg_end-1 indexes the run's
+    LAST element, not its max."""
     n = vals.shape[0]
     _, vals_sorted = jax.lax.sort(
         (keys, vals.astype(jnp.float32)), num_keys=2, is_stable=False

@@ -245,22 +245,24 @@ def _sample4_impl(tex_flat, kx, ky, vert, idx4, sep_i, sep_m):
     w4, wx4, wy4 = _w4_terms(kx, ky, vert)
     if USE_MM_FORWARD and _kernel_ok(M, C):
         L = int(round((M / 6) ** 0.5))
-        shape = kx.shape
-        N = kx.size
-        gm = (1.0 - sep_m).reshape(1, N)
+        # tile-major pixel order clusters face-edge pixels (smooth curves in
+        # reflection maps) into few generic-path blocks; outputs are restored
+        # with the inverse relayout (pure reshapes, no gathers)
+        flat, unflat = _tileorder_pair(kx.shape)
+        gm = (1.0 - flat(sep_m))[None]
         out, gx, gy = cubemap_sample_mm(
             tex_flat,
-            (idx4 // L).reshape(4, N).astype(jnp.int32),
-            (idx4 % L).reshape(4, N).astype(jnp.int32),
-            w4.reshape(4, N) * gm,
-            wx4.reshape(4, N) * gm,
-            wy4.reshape(4, N) * gm,
-            sep_i[0].reshape(N), sep_i[1].reshape(N),
-            sep_i[2].reshape(N), sep_i[3].reshape(N),
-            ky.reshape(N), kx.reshape(N), sep_m.reshape(N),
+            flat(idx4 // L).astype(jnp.int32),
+            flat(idx4 % L).astype(jnp.int32),
+            flat(w4) * gm,
+            flat(wx4) * gm,
+            flat(wy4) * gm,
+            flat(sep_i[0]), flat(sep_i[1]),
+            flat(sep_i[2]), flat(sep_i[3]),
+            flat(ky), flat(kx), flat(sep_m),
             L=L, C=C,
         )
-        rs = lambda x: x.reshape(*shape, C)
+        rs = lambda x: jnp.moveaxis(unflat(jnp.moveaxis(x, -1, 0)), 0, -1)
         return rs(out), rs(gx), rs(gy)
     vals = tex_flat[idx4]  # [4, ..., C]
     out = jnp.sum(w4[..., None] * vals, axis=0)
@@ -285,20 +287,39 @@ def _tileorder(shape):
     face-edge pixels (which lie on smooth curves in reflection maps) cluster
     into few kernel blocks instead of touching every row-major strip. The
     tap accumulation is order-independent, so no inverse is needed."""
+    flat, _ = _tileorder_pair(shape)
+    return flat
+
+
+def _tileorder_pair(shape):
+    """(flat, unflat): 16x32 tile-major flattener and its inverse (both pure
+    reshapes/transposes — no gathers). unflat restores trailing [H, W]."""
     if len(shape) == 2 and shape[0] % 16 == 0 and shape[1] % 32 == 0:
         H, W = shape
         ty, tx = H // 16, W // 32
 
-        def flat(a):  # [..., leading H, W dims first]
+        def flat(a):  # [..., H, W] -> [..., H*W] tile-major
             a = a.reshape(a.shape[:-2] + (ty, 16, tx, 32))
             a = jnp.swapaxes(a, -3, -2)
             return a.reshape(a.shape[:-4] + (H * W,))
 
-        return flat
+        def unflat(a):  # [..., H*W] tile-major -> [..., H, W]
+            a = a.reshape(a.shape[:-1] + (ty, tx, 16, 32))
+            a = jnp.swapaxes(a, -3, -2)
+            return a.reshape(a.shape[:-4] + (H, W))
+
+        return flat, unflat
     n = 1
     for d in shape:
         n *= d
-    return lambda a: a.reshape(a.shape[: a.ndim - len(shape)] + (n,))
+
+    def flat1(a):
+        return a.reshape(a.shape[: a.ndim - len(shape)] + (n,))
+
+    def unflat1(a):
+        return a.reshape(a.shape[:-1] + shape)
+
+    return flat1, unflat1
 
 
 def _sample4_bwd(res, g):

@@ -37,6 +37,130 @@ CI = 512  # rows per chunk
 NSLOT = 8  # DMA ring depth
 
 
+FP = 32  # packed feature width (k = 128 // FP rows per packed 128-lane row)
+
+
+def _segsum_rows_kernel(starts_ref, ends_ref, packed_ref, out_ref, accum, slab, sem):
+    k = 128 // FP  # rows packed per 128-lane row
+    pr = CI // k  # packed rows per chunk
+    starts = starts_ref[:, 0].reshape(RB, 1)
+    ends = ends_ref[:, 0].reshape(RB, 1)
+    lo = starts_ref[0, 0]
+    hi = ends_ref[RB - 1, 0]
+    n_packed = packed_ref.shape[0]
+
+    c0 = lo // CI
+    c1 = jnp.minimum(pl.cdiv(hi, CI), (n_packed * k) // CI)
+    n_chunks = jnp.maximum(c1 - c0, 0)
+
+    accum[:] = jnp.zeros((RB, FP), jnp.float32)
+
+    def dma(i):
+        base = pl.multiple_of((c0 + i) * pr, pr)
+        slot = i % NSLOT
+        return pltpu.make_async_copy(
+            packed_ref.at[pl.ds(base, pr), :], slab.at[slot], sem.at[slot]
+        )
+
+    @pl.when(n_chunks > 0)
+    def _prime():
+        def prime_body(i, _):
+            @pl.when(i < n_chunks)
+            def _():
+                dma(i).start()
+
+            return _
+
+        jax.lax.fori_loop(0, NSLOT, prime_body, None)
+
+    def body(i, _):
+        dma(i).wait()
+        base = (c0 + i) * CI
+        chunk = slab[i % NSLOT]  # [pr, 128]: packed row p = rows k*p .. k*p+k-1
+        p_iota = jax.lax.broadcasted_iota(jnp.int32, (pr, 1), 0)
+        # sub-phase s: rows j = base + k*p + s live in lanes [FP*s, FP*s+FP)
+        for s in range(k):
+            g = base + k * p_iota + s  # [pr, 1]
+            member = ((g >= starts.reshape(1, RB)) & (g < ends.reshape(1, RB))).astype(
+                jnp.float32
+            )  # [pr, RB]
+            # HIGHEST: default MXU precision is bf16 inputs — rounds grad rows
+            accum[:] += jax.lax.dot_general(
+                member,
+                chunk[:, FP * s : FP * (s + 1)],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        @pl.when(i + NSLOT < n_chunks)
+        def _next():
+            dma(i + NSLOT).start()
+
+        return _
+
+    jax.lax.fori_loop(0, n_chunks, body, None)
+    out_ref[:] = accum[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def segment_sum_rows(
+    rows: jnp.ndarray,  # [N, F] row-major rows, F <= 32
+    starts: jnp.ndarray,  # [P] ascending segment starts
+    ends: jnp.ndarray,  # [P] segment ends (ends[r] <= starts[r+1])
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """-> [P, F] per-segment sums, row-major in and out.
+
+    Same contract as segment_sum_ranges but consumes the natural [N, F]
+    gather layout directly. NOTE: measured on v5e, the [N,F]->[F,N]
+    transpose this avoids is FREE (XLA folds it into operand layouts), so
+    prefer segment_sum_ranges when the producer is already a gather; this
+    variant exists for producers whose row-major layout is forced (e.g.
+    kernel outputs consumed without an intervening gather).
+    Mosaic DMA slices must be 128-lane aligned, so rows are zero-padded to
+    FP=32 features and viewed as [N/4, 128] (4 rows per packed row); the
+    kernel runs 4 sub-phase membership matmuls per chunk, one per row
+    phase s: accum[RB, FP] += member_s[pr, RB]^T @ chunk[:, 32s:32s+32]."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    N, F = rows.shape
+    if F > FP:
+        raise ValueError(f"segment_sum_rows supports F <= {FP}, got {F}")
+    P_ = starts.shape[0]
+    k = 128 // FP
+    n_pad = (-N) % CI
+    rows = rows.astype(jnp.float32)
+    if n_pad or F != FP:
+        rows = jnp.pad(rows, ((0, n_pad), (0, FP - F)))
+    packed = rows.reshape((N + n_pad) // k, 128)
+    p_pad = (-P_) % RB
+    if p_pad:
+        starts = jnp.concatenate([starts, jnp.full(p_pad, N + n_pad, jnp.int32)])
+        ends = jnp.concatenate([ends, jnp.full(p_pad, N + n_pad, jnp.int32)])
+    Pp = P_ + p_pad
+    clamp = lambda a: jnp.clip(a, 0, N + n_pad).astype(jnp.int32)
+
+    out = pl.pallas_call(
+        _segsum_rows_kernel,
+        grid=(Pp // RB,),
+        in_specs=[
+            pl.BlockSpec((RB, 1), lambda i: (i, 0)),
+            pl.BlockSpec((RB, 1), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((RB, FP), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Pp, FP), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((RB, FP), jnp.float32),
+            pltpu.VMEM((NSLOT, CI // k, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((NSLOT,)),
+        ],
+        interpret=interpret,
+    )(clamp(starts)[:, None], clamp(ends)[:, None], packed)
+    return out[:P_, :F]
+
+
 def _segsum_kernel(starts_ref, ends_ref, rows_ref, out_ref, accum, slab, sem):
     F = slab.shape[1]
     starts = starts_ref[0, :].reshape(1, RB)

@@ -474,28 +474,35 @@ from tpu_splat.core.segops import segment_sum_sorted, segment_max_sorted  # noqa
 
 
 @jax.custom_vjp
-def _expand_rows(g24, gid, valid, rank_perm, rank_of, seg_start, seg_end):
+def _expand_rows(g24, gid, valid, emit_key, rank_of, seg_start, seg_end):
     return jnp.where(valid[:, None], g24[gid], 0.0)  # [N_cap, F]
 
 
-def _expand_rows_fwd(g24, gid, valid, rank_perm, rank_of, seg_start, seg_end):
-    out = _expand_rows(g24, gid, valid, rank_perm, rank_of, seg_start, seg_end)
-    return out, (valid, rank_perm, rank_of, seg_start, seg_end)
+def _expand_rows_fwd(g24, gid, valid, emit_key, rank_of, seg_start, seg_end):
+    out = _expand_rows(g24, gid, valid, emit_key, rank_of, seg_start, seg_end)
+    return out, (valid, emit_key, rank_of, seg_start, seg_end)
 
 
 def _expand_rows_bwd(res, d_out):
-    # Gather transpose without scatter-add: rank_perm (precomputed in the
-    # binning, cotangent-independent, trimmed to the instance capacity)
-    # regroups grad rows per Gaussian with ONE row gather; segment bounds
-    # are analytic (emission-order runs), and the per-Gaussian sums run in
-    # the Pallas segment kernel (one pass, MXU membership matmul) instead
-    # of XLA cumsums. Rows at invalid slots are exactly zero (the bwd
-    # kernel masks by contribution and d_feats is zero-aliased) and land
-    # past every segment, so no masking is needed.
+    # Gather-free transpose: ONE variadic sort keyed on the binning's
+    # emission-index payload regroups grad rows per Gaussian (emission
+    # indices are gap-free below min(total, cap), so post-sort position ==
+    # emission index and the analytic [seg_start, seg_end) runs apply).
+    # Measured ~2x cheaper than the row-gather-by-permutation alternative
+    # (a [4M, 24] f32 row gather runs at ~3 GB/s on v5e; lax.sort moves
+    # ~2.3 ms per payload column — see profile_gather.py). The per-column
+    # slices below are free: d_out's physical layout is feature-major (it
+    # is the transposed cotangent of the [F, N] kernel output). Rows at
+    # invalid slots are exactly zero (the bwd kernel masks by contribution
+    # and d_feats is zero-aliased) and carry emit >= cap, sorting past
+    # every segment.
     from tpu_splat.kernels.segment_reduce import segment_sum_ranges
 
-    valid, rank_perm, rank_of, seg_start, seg_end = res
-    rows_T = d_out[rank_perm].T  # [F, cap] grouped by rank
+    valid, emit_key, rank_of, seg_start, seg_end = res
+    F = d_out.shape[1]
+    cols = tuple(d_out[:, i] for i in range(F))
+    srt = jax.lax.sort((emit_key,) + cols, num_keys=1, is_stable=False)
+    rows_T = jnp.stack(srt[1:], axis=0)  # [F, cap_al] emission-grouped
     d_g24 = segment_sum_ranges(rows_T, seg_start, seg_end).T[rank_of]
     return d_g24, None, None, None, None, None, None
 
@@ -541,7 +548,7 @@ def pack_features(
     color: jnp.ndarray,
     refl: jnp.ndarray,
     scope_mask: jnp.ndarray,
-    rank_perm: jnp.ndarray | None = None,
+    emit_key: jnp.ndarray | None = None,
     rank_of: jnp.ndarray | None = None,
     seg_start: jnp.ndarray | None = None,
     seg_end: jnp.ndarray | None = None,
@@ -555,8 +562,8 @@ def pack_features(
     every row so pad slots (and the backward kernel's never-written d_feats
     tail) cannot leak gradients.
 
-    When the binning's rank grouping (rank_perm/rank_of/seg_*) is given,
-    the gather's transpose is a row gather + analytic-run segment sum
+    When the binning's emission grouping (emit_key/rank_of/seg_*) is given,
+    the gather's transpose is a sort-regroup + analytic-run segment sum
     instead of XLA's scatter-add."""
     P_ = opacity.shape[0]
     coeffs = gauss_coefficients(hom, xy, opacity)  # [P, 16]
@@ -570,9 +577,9 @@ def pack_features(
         ],
         axis=1,
     )  # [P, F_PAD]
-    if rank_perm is not None:
+    if emit_key is not None:
         feats = _expand_rows(
-            g32, sorted_gid, valid, rank_perm, rank_of, seg_start, seg_end
+            g32, sorted_gid, valid, emit_key, rank_of, seg_start, seg_end
         )
     else:
         feats = jnp.where(valid[:, None], g32[sorted_gid], 0.0)  # [N_cap, F]

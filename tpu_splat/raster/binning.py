@@ -23,9 +23,10 @@ with static-shape XLA built around the ops that are actually fast on TPU
     gathers (64 ms).
   * Per-Gaussian grouping is FREE: each Gaussian's instances are contiguous
     in emission order (run r = [offsets[r], offsets[r]+area[r]) for depth
-    rank r), so backward reductions sort values by the emission rank payload
-    and segment-reduce with these analytic bounds — no by-gid sort, no
-    searchsorted.
+    rank r), so backward reductions sort values by the emission-index
+    payload (aligned_emit, gap-free below min(total, cap)) and
+    segment-reduce with these analytic bounds — no by-gid sort, no
+    searchsorted, no inverse permutation.
 """
 from __future__ import annotations
 
@@ -49,12 +50,16 @@ class Binned(NamedTuple):
     aligned_gid: jnp.ndarray | None  # [cap_al] 128-aligned exclusive layout
     aligned_valid: jnp.ndarray | None  # [cap_al] bool
     aligned_starts: jnp.ndarray | None  # [T_padded]
-    # per-Gaussian grouping of the aligned slots, in DEPTH-RANK space (for
+    # per-Gaussian grouping of the aligned slots, in EMISSION space (for
     # scatter-free per-Gaussian reductions in the backward): aligned slot ->
-    # depth rank of its Gaussian; rank r's instances are the contiguous run
-    # [seg_start[r], seg_end[r]) once values are sorted by that rank key.
+    # the instance's expansion index (rides both sorts as a payload). Rank
+    # r's instances occupy exactly the emission run [seg_start[r],
+    # seg_end[r]), so sorting per-slot values by this key regroups them at
+    # analytic bounds — no inverse permutation, no gather. aligned_rank
+    # (the duplicated-key variant) serves tie-sort reductions
+    # (segment_max_sorted needs runs of EQUAL keys).
+    aligned_emit: jnp.ndarray | None  # [cap_al] (>= cap where invalid)
     aligned_rank: jnp.ndarray | None  # [cap_al] (P where invalid)
-    rank_perm: jnp.ndarray | None  # [cap] aligned slot at by-rank order
     rank_of: jnp.ndarray | None  # [P] gaussian id -> its depth rank
     seg_start: jnp.ndarray | None  # [P] by rank
     seg_end: jnp.ndarray | None  # [P] by rank
@@ -126,12 +131,14 @@ def bin_gaussians(
     ty = ((rows[:, 0] >> 10) & 0x3FF) + j // rw
     inst_tile = jnp.where(slot_valid, ty * tiles_x + tx, n_tiles)
     inst_gid = jnp.where(slot_valid, rows[:, 1], 0)
+    inst_emit = jnp.where(slot_valid, i, cap)
     inst_rank = jnp.where(slot_valid, gsel, P_)
 
     # 3. single stable sort by tile id (front-to-back within tiles); the
-    # emission rank rides along so per-Gaussian runs stay recoverable
-    sorted_tile, sorted_gid, sorted_rank = jax.lax.sort(
-        (inst_tile, inst_gid, inst_rank), num_keys=1, is_stable=True
+    # expansion index and depth rank ride along so per-Gaussian runs stay
+    # recoverable
+    sorted_tile, sorted_gid, sorted_emit, sorted_rank = jax.lax.sort(
+        (inst_tile, inst_gid, inst_emit, inst_rank), num_keys=1, is_stable=True
     )
 
     # 4. per-tile ranges (few queries: binary-search method is fine here)
@@ -156,7 +163,7 @@ def bin_gaussians(
         tile_mask = k < counts_capped[:, None]
 
     aligned_gid = aligned_valid = aligned_starts = None
-    aligned_rank = rank_perm = rank_of = seg_end = seg_start = None
+    aligned_emit = aligned_rank = rank_of = seg_end = seg_start = None
     if aligned:
         # 5. 128-aligned mutually-exclusive ranges via sort-with-pads: append
         # one pad instance per missing slot (keyed by its tile) and re-sort
@@ -176,39 +183,39 @@ def bin_gaussians(
 
         key = jnp.concatenate([sorted_tile, pad_tile])
         gid_cat = jnp.concatenate([sorted_gid, jnp.zeros(pad_cap, jnp.int32)])
-        # real instances carry rank < P; pads (and capacity-overflow slots,
-        # keyed to n_tiles+) carry rank = P — validity needs no 4th payload
+        # real instances carry their expansion index (< cap); pads (and
+        # capacity-overflow slots, keyed to n_tiles+) carry cap — the same
+        # payload provides validity AND the backward's regroup key
+        emit_cat = jnp.concatenate(
+            [
+                jnp.where(sorted_tile < n_tiles, sorted_emit, cap),
+                jnp.full(pad_cap, cap, jnp.int32),
+            ]
+        )
         rank_cat = jnp.concatenate(
             [
                 jnp.where(sorted_tile < n_tiles, sorted_rank, P_),
                 jnp.full(pad_cap, P_, jnp.int32),
             ]
         )
-        _, aligned_gid, aligned_rank = jax.lax.sort(
-            (key, gid_cat, rank_cat), num_keys=1, is_stable=True
+        _, aligned_gid, aligned_emit, aligned_rank = jax.lax.sort(
+            (key, gid_cat, emit_cat, rank_cat), num_keys=1, is_stable=True
         )
-        aligned_valid = aligned_rank < P_
+        aligned_valid = aligned_emit < cap
 
-        # 6. per-Gaussian segment bounds are analytic in rank space; rank_of
-        # (gaussian id -> rank) unsorts rank-ordered reductions. Instances
-        # past the capacity are dropped (the forward never renders them).
-        # rank_perm reorders aligned slots into rank-grouped (= emission)
-        # order; computed here (cotangent-independent, DCE'd when unused)
-        # so the backward is one row gather + analytic segment sums.
+        # 6. per-Gaussian segment bounds are analytic in emission space
+        # (rank r's instances ARE expansion slots [offsets[r],
+        # offsets[r]+area[r])); rank_of (gaussian id -> rank) unsorts
+        # rank-ordered reductions. Instances past the capacity are dropped
+        # (the forward never renders them). The backward regroups per-slot
+        # values by ONE sort keyed on aligned_emit — emission indices have
+        # no gaps below min(total, cap), so post-sort position == emission
+        # index and the analytic bounds apply directly.
         seg_start = jnp.minimum(offsets, cap).astype(jnp.int32)
         seg_end = jnp.minimum(offsets + area_o, cap).astype(jnp.int32)
         _, rank_of = jax.lax.sort(
             (gorder, jnp.arange(P_, dtype=jnp.int32)), num_keys=1
         )
-        rank_key = jnp.where(aligned_valid, aligned_rank, P_)
-        _, rank_perm = jax.lax.sort(
-            (rank_key, jnp.arange(rank_key.shape[0], dtype=jnp.int32)),
-            num_keys=1,
-            is_stable=False,
-        )
-        # positions >= cap are invalid-key tail (seg bounds clamp to cap),
-        # so the backward's regroup gather only needs the first cap slots
-        rank_perm = rank_perm[:cap]
 
     return Binned(
         tile_gid=tile_gid,
@@ -221,8 +228,8 @@ def bin_gaussians(
         aligned_gid=aligned_gid,
         aligned_valid=aligned_valid,
         aligned_starts=aligned_starts,
+        aligned_emit=aligned_emit,
         aligned_rank=aligned_rank,
-        rank_perm=rank_perm,
         rank_of=rank_of,
         seg_end=seg_end,
         seg_start=seg_start,

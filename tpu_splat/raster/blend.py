@@ -405,7 +405,7 @@ def blend_pallas(
     feats = tb.pack_features(
         binned.aligned_gid, binned.aligned_valid,
         hom, xy, opacity, normal_view, color, refl, scope_mask,
-        rank_perm=binned.rank_perm, rank_of=binned.rank_of,
+        emit_key=binned.aligned_emit, rank_of=binned.rank_of,
         seg_start=binned.seg_start, seg_end=binned.seg_end,
     )
     T_pad = binned.aligned_starts.shape[0]
@@ -461,11 +461,9 @@ def blend_pallas(
     )
     # per-Gaussian max blend weight: one two-key sort by (rank, wmax) puts
     # each rank run's max at its analytic end; un-rank with a row gather
-    P_ = binned.rank_of.shape[0]
-    rank_key = jnp.where(binned.aligned_valid, binned.aligned_rank, P_)
     gw_by_rank = tb.segment_max_sorted(
         jnp.where(binned.aligned_valid, wmax, 0.0),
-        rank_key, binned.seg_start, binned.seg_end,
+        binned.aligned_rank, binned.seg_start, binned.seg_end,
     )
     gw = gw_by_rank[binned.rank_of]
     return BlendOutput(
