@@ -231,10 +231,14 @@ def _kernel_ok(M: int, C: int) -> bool:
     return 6 * L * L == M and supported_resolution(L, C)
 
 
-# The matmul forward sampler measured SLOWER than XLA row gathers at 1080p
-# (193 ms vs 114 ms on a v5e) — gathers win the forward while the tap
-# accumulation kernel wins the backward. Flip to re-evaluate after kernel
-# tuning.
+# The matmul forward sampler loses to XLA row gathers in BOTH direction
+# regimes on a v5e (gathers: 23 ms on smooth reflection maps where texel
+# indices are spatially local, 114 ms on adversarially random dirs; the mm
+# kernel: ~193 ms, dominated by its two always-on HIGHEST rowmixes) — so
+# gathers keep the forward while the tap-accumulation kernel keeps the
+# backward. The tile-order plumbing below is exercised by tests (CPU
+# interpret) but the kernel currently fails to compile on real TPU; fix
+# before ever flipping this on.
 USE_MM_FORWARD = False
 
 
