@@ -74,6 +74,9 @@ def build_state(n, capacity, seed=0, scale_mu=-4.8, scale_sigma=0.5, cubemap=64)
 
 
 def main():
+    import tpu_splat
+
+    tpu_splat.setup_compilation_cache()
     import jax
     import jax.numpy as jnp
     from tpu_splat.data import orbit_camera

@@ -57,6 +57,9 @@ def timed(fn, args, iters=6, name=""):
 
 
 def main():
+    import tpu_splat
+
+    tpu_splat.setup_compilation_cache()
     import jax
     import jax.numpy as jnp
     from bench import build_state

@@ -19,18 +19,26 @@ train/render/eval toolchain — redesigned for TPU:
 
 __version__ = "0.1.0"
 
-import os as _os
 
-# Persistent XLA compilation cache: full-scale (1M-Gaussian, 1080p) pipelines
-# take minutes to compile; cache across processes unless the user overrides.
-if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
-    _cache = _os.path.expanduser("~/.cache/jax_compcache")
+def setup_compilation_cache(path: str | None = None) -> str | None:
+    """Opt-in persistent XLA compilation cache (full-scale 1M-Gaussian/1080p
+    pipelines take minutes to compile). Called by the CLI entry points; a
+    plain `import tpu_splat` has no side effects. Returns the cache dir used,
+    or None if the environment already configures one / setup failed."""
+    import os
+
+    if "JAX_COMPILATION_CACHE_DIR" in os.environ:
+        return None
+    cache = path or os.path.expanduser("~/.cache/jax_compcache")
     try:
-        _os.makedirs(_cache, exist_ok=True)
-        import jax as _jax
+        os.makedirs(cache, exist_ok=True)
+        import jax
 
-        _jax.config.update("jax_compilation_cache_dir", _cache)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-del _os
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return cache
+    except (OSError, AttributeError) as e:  # pragma: no cover - env specific
+        import warnings
+
+        warnings.warn(f"compilation cache setup failed: {e}")
+        return None

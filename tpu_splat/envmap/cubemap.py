@@ -231,43 +231,15 @@ def _kernel_ok(M: int, C: int) -> bool:
     return 6 * L * L == M and supported_resolution(L, C)
 
 
-# The matmul forward sampler loses to XLA row gathers in BOTH direction
-# regimes on a v5e (gathers: 23 ms on smooth reflection maps where texel
-# indices are spatially local, 114 ms on adversarially random dirs; the mm
-# kernel: ~193 ms, dominated by its two always-on HIGHEST rowmixes) — so
-# gathers keep the forward while the tap-accumulation kernel keeps the
-# backward. The tile-order plumbing below is exercised by tests (CPU
-# interpret) but the kernel currently fails to compile on real TPU; fix
-# before ever flipping this on.
-USE_MM_FORWARD = False
+# Forward sampling stays on XLA row gathers: measured on a v5e they beat a
+# one-hot row-mix matmul kernel in both direction regimes (23 ms on smooth
+# reflection maps where texel indices are spatially local, 114 ms on
+# adversarially random dirs, vs ~193 ms for the kernel) — the MXU
+# tap-accumulation kernel keeps only the BACKWARD (texel-gradient) side.
 
 
 def _sample4_impl(tex_flat, kx, ky, vert, idx4, sep_i, sep_m):
-    from tpu_splat.kernels.cubemap_accum import cubemap_sample_mm
-
-    M, C = tex_flat.shape
     w4, wx4, wy4 = _w4_terms(kx, ky, vert)
-    if USE_MM_FORWARD and _kernel_ok(M, C):
-        L = int(round((M / 6) ** 0.5))
-        # tile-major pixel order clusters face-edge pixels (smooth curves in
-        # reflection maps) into few generic-path blocks; outputs are restored
-        # with the inverse relayout (pure reshapes, no gathers)
-        flat, unflat = _tileorder_pair(kx.shape)
-        gm = (1.0 - flat(sep_m))[None]
-        out, gx, gy = cubemap_sample_mm(
-            tex_flat,
-            flat(idx4 // L).astype(jnp.int32),
-            flat(idx4 % L).astype(jnp.int32),
-            flat(w4) * gm,
-            flat(wx4) * gm,
-            flat(wy4) * gm,
-            flat(sep_i[0]), flat(sep_i[1]),
-            flat(sep_i[2]), flat(sep_i[3]),
-            flat(ky), flat(kx), flat(sep_m),
-            L=L, C=C,
-        )
-        rs = lambda x: jnp.moveaxis(unflat(jnp.moveaxis(x, -1, 0)), 0, -1)
-        return rs(out), rs(gx), rs(gy)
     vals = tex_flat[idx4]  # [4, ..., C]
     out = jnp.sum(w4[..., None] * vals, axis=0)
     gx = jnp.sum(wx4[..., None] * vals, axis=0)
@@ -290,14 +262,8 @@ def _tileorder(shape):
     """Flattener: [H, W] image order -> 16x32 tile-major order, so that
     face-edge pixels (which lie on smooth curves in reflection maps) cluster
     into few kernel blocks instead of touching every row-major strip. The
-    tap accumulation is order-independent, so no inverse is needed."""
-    flat, _ = _tileorder_pair(shape)
-    return flat
-
-
-def _tileorder_pair(shape):
-    """(flat, unflat): 16x32 tile-major flattener and its inverse (both pure
-    reshapes/transposes — no gathers). unflat restores trailing [H, W]."""
+    tap accumulation is order-independent, so no inverse is needed.
+    Pure reshapes/transposes — no gathers."""
     if len(shape) == 2 and shape[0] % 16 == 0 and shape[1] % 32 == 0:
         H, W = shape
         ty, tx = H // 16, W // 32
@@ -307,12 +273,7 @@ def _tileorder_pair(shape):
             a = jnp.swapaxes(a, -3, -2)
             return a.reshape(a.shape[:-4] + (H * W,))
 
-        def unflat(a):  # [..., H*W] tile-major -> [..., H, W]
-            a = a.reshape(a.shape[:-1] + (ty, tx, 16, 32))
-            a = jnp.swapaxes(a, -3, -2)
-            return a.reshape(a.shape[:-4] + (H, W))
-
-        return flat, unflat
+        return flat
     n = 1
     for d in shape:
         n *= d
@@ -320,10 +281,7 @@ def _tileorder_pair(shape):
     def flat1(a):
         return a.reshape(a.shape[: a.ndim - len(shape)] + (n,))
 
-    def unflat1(a):
-        return a.reshape(a.shape[:-1] + shape)
-
-    return flat1, unflat1
+    return flat1
 
 
 def _sample4_bwd(res, g):

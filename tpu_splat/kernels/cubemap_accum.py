@@ -190,185 +190,3 @@ def supported_resolution(L: int, C: int) -> bool:
     acc_bytes = R * LCp * 4
     a_bytes = BN * R * 4
     return C <= 8 and acc_bytes + 2 * a_bytes < 10 * 1024 * 1024
-
-
-# ---------------------------------------------------------------------------
-# Forward sampling kernel: out/gx/gy = weighted 4-tap blends via row matmuls.
-#
-# XLA row-gathers from the texture (~114 ms for 4 taps at 1080p on a v5e —
-# TPU gathers process ~a row per cycle) are replaced by one-hot row-mix
-# matmuls against the VMEM-resident texture: W = A @ Tex2 with A the
-# (1-wr)/wr row one-hots, then a column-mask contraction per channel.
-# Besides the sample itself the kernel emits gx = sum_t (dw_t/dkx) val_t and
-# gy = sum_t (dw_t/dky) val_t — the direction-gradient taps — from the same
-# row mixes (A' = 1[r1] - 1[r0], B' = 1[c1] - 1[c0]), so the backward needs
-# no per-tap texture values at all.
-
-# float-pack rows for the sampling kernel
-S_WR, S_WC, S_M = 0, 1, 2
-S_W4 = 3  # 3:7   tap weights, pre-masked to edge (generic) pixels
-S_WX4 = 7  # 7:11  d tap weight / d kx
-S_WY4 = 11  # 11:15 d tap weight / d ky
-NS = 16
-
-
-def _sample_kernel(flags_ref, tex_ref, ints_ref, floats_ref,
-                   out_ref, gx_ref, gy_ref, sbuf, *, R, LC, LCp, C):
-    b = pl.program_id(0)
-    tex = tex_ref[...]  # [R, LCp] resident across the grid
-    ints = jnp.transpose(ints_ref[...])  # [BN, NI]
-    floats = jnp.transpose(floats_ref[...])  # [BN, NS]
-
-    def icol(k):
-        return ints[:, k : k + 1]
-
-    def fcol(k):
-        return floats[:, k : k + 1]
-
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, R), 1)
-    j_iota = jax.lax.broadcasted_iota(jnp.int32, (BN, LCp), 1)
-    jdivC = j_iota // C
-    jmodC = j_iota - jdivC * C
-    in_lc = j_iota < LC
-
-    hp = jax.lax.Precision.HIGHEST
-
-    def rowmix(A):
-        return jax.lax.dot_general(
-            A, tex, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=hp,
-        )
-
-    m = fcol(S_M)
-    wr = fcol(S_WR)
-    wc = fcol(S_WC)
-    A = (
-        jnp.where(row_iota == icol(I_R0), (1.0 - wr) * m, 0.0)
-        + jnp.where(row_iota == icol(I_R1), wr * m, 0.0)
-    )
-    Ap = (
-        jnp.where(row_iota == icol(I_R1), m, 0.0)
-        - jnp.where(row_iota == icol(I_R0), m, 0.0)
-    )
-    Wr = rowmix(A)
-    Wrp = rowmix(Ap)
-    B3 = (
-        jnp.where(jdivC == icol(I_C0), 1.0 - wc, 0.0)
-        + jnp.where(jdivC == icol(I_C1), wc, 0.0)
-    )
-    B3p = (
-        jnp.where(jdivC == icol(I_C1), 1.0, 0.0)
-        - jnp.where(jdivC == icol(I_C0), 1.0, 0.0)
-    )
-    sbuf[0] = B3 * Wr
-    sbuf[1] = B3p * Wr
-    sbuf[2] = B3 * Wrp
-
-    @pl.when(flags_ref[b] != 0)
-    def _generic():
-        for t in range(4):
-            At = jnp.where(row_iota == icol(I_TROW + t), 1.0, 0.0)
-            Vt = jnp.where(jdivC == icol(I_TCOL + t), rowmix(At), 0.0)
-            sbuf[0] += fcol(S_W4 + t) * Vt
-            sbuf[1] += fcol(S_WX4 + t) * Vt
-            sbuf[2] += fcol(S_WY4 + t) * Vt
-
-    S, Sx, Sy = sbuf[0], sbuf[1], sbuf[2]
-
-    # channel contraction: Sel8[j, j % C] = 1 (j < LC)
-    sel_iota = jax.lax.broadcasted_iota(jnp.int32, (LCp, 8), 1)
-    selmod = jax.lax.broadcasted_iota(jnp.int32, (LCp, 8), 0) % C
-    sel8 = ((sel_iota == selmod)
-            & (jax.lax.broadcasted_iota(jnp.int32, (LCp, 8), 0) < LC)
-            ).astype(jnp.float32)
-
-    def chan(Sm):
-        o = jax.lax.dot_general(
-            Sm, sel8, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=hp,
-        )  # [BN, 8]
-        return jnp.transpose(o)  # [8, BN]
-
-    out_ref[...] = chan(S)
-    gx_ref[...] = chan(Sx)
-    gy_ref[...] = chan(Sy)
-
-
-@functools.partial(jax.jit, static_argnames=("L", "C", "interpret"))
-def cubemap_sample_mm(
-    tex_flat: jnp.ndarray,  # [6*L*L, C] texel rows
-    tap_row: jnp.ndarray,  # [4, N] i32
-    tap_col: jnp.ndarray,  # [4, N] i32
-    w4: jnp.ndarray,  # [4, N] tap weights (pre-masked to generic pixels)
-    wx4: jnp.ndarray,  # [4, N] d w4 / d kx (pre-masked)
-    wy4: jnp.ndarray,  # [4, N] d w4 / d ky (pre-masked)
-    sep_r0, sep_r1, sep_c0, sep_c1,  # [N] i32
-    sep_wr, sep_wc, sep_m,  # [N] f32
-    L: int,
-    C: int,
-    interpret: bool | None = None,
-):
-    """-> (out, gx, gy) each [N, C]: the bilinear sample and its
-    tap-weight derivative blends wrt kx/ky."""
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    N = sep_m.shape[0]
-    R = 6 * L
-    LC = L * C
-    LCp = ((LC + 127) // 128) * 128
-
-    n_pad = (-N) % BN
-    if n_pad:
-        zi = lambda a: jnp.concatenate([a, jnp.zeros((n_pad,), a.dtype)])
-        zi4 = lambda a: jnp.concatenate([a, jnp.zeros((4, n_pad), a.dtype)], axis=1)
-        tap_row, tap_col = zi4(tap_row), zi4(tap_col)
-        w4, wx4, wy4 = zi4(w4), zi4(wx4), zi4(wy4)
-        sep_r0, sep_r1 = zi(sep_r0), zi(sep_r1)
-        sep_c0, sep_c1 = zi(sep_c0), zi(sep_c1)
-        sep_wr, sep_wc, sep_m = zi(sep_wr), zi(sep_wc), zi(sep_m)
-    Np = N + n_pad
-    nb = Np // BN
-
-    zi_row = jnp.zeros((Np,), jnp.int32)
-    ints = jnp.stack(
-        [sep_r0, sep_r1, sep_c0, sep_c1,
-         tap_row[0], tap_row[1], tap_row[2], tap_row[3],
-         tap_col[0], tap_col[1], tap_col[2], tap_col[3],
-         zi_row, zi_row, zi_row, zi_row]
-    )
-    floats = jnp.stack(
-        [sep_wr, sep_wc, sep_m,
-         w4[0], w4[1], w4[2], w4[3],
-         wx4[0], wx4[1], wx4[2], wx4[3],
-         wy4[0], wy4[1], wy4[2], wy4[3],
-         jnp.zeros((Np,), jnp.float32)]
-    )
-    flags = jnp.max((sep_m.reshape(nb, BN) < 0.5).astype(jnp.int32), axis=1)
-
-    tex2 = jnp.zeros((R, LCp), jnp.float32).at[:, :LC].set(
-        tex_flat.reshape(R, LC)
-    )
-
-    kern = functools.partial(_sample_kernel, R=R, LC=LC, LCp=LCp, C=C)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((R, LCp), lambda b, *_: (0, 0)),
-            pl.BlockSpec((NI, BN), lambda b, *_: (0, b)),
-            pl.BlockSpec((NS, BN), lambda b, *_: (0, b)),
-        ],
-        out_specs=[
-            pl.BlockSpec((8, BN), lambda b, *_: (0, b)),
-            pl.BlockSpec((8, BN), lambda b, *_: (0, b)),
-            pl.BlockSpec((8, BN), lambda b, *_: (0, b)),
-        ],
-        scratch_shapes=[pltpu.VMEM((3, BN, LCp), jnp.float32)],
-    )
-    out, gx, gy = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((8, Np), jnp.float32)] * 3,
-        interpret=interpret,
-    )(flags, tex2, ints, floats)
-    return out[:C, :N].T, gx[:C, :N].T, gy[:C, :N].T

@@ -122,7 +122,7 @@ def rasterize(
             tiles_touched=jnp.where(valid, prep.tiles_touched, 0),
         )
     n_shards = 1 if mesh is None else mesh.shape[mesh_axis]
-    use_pallas = cfg.backend == "pallas"
+    use_pallas = cfg.use_pallas()
     binned = bin_gaussians(
         prep, H, W, cfg, pad_tiles_to=n_shards, aligned=use_pallas
     )

@@ -87,6 +87,13 @@ def bin_gaussians(
     aligned: bool = False,
 ) -> Binned:
     tiles_y, tiles_x = tile_grid(height, width)
+    if tiles_x > 1024 or tiles_y > 1024:
+        # the packed rect encoding below uses 10-bit x/y fields; beyond 1024
+        # tiles per axis (~16K px) the fields would overlap silently
+        raise ValueError(
+            f"image too large for packed tile coords: grid {tiles_x}x{tiles_y} "
+            "(max 1024 tiles per axis = 16384 px)"
+        )
     n_tiles = tiles_y * tiles_x
     n_tiles_padded = n_tiles + ((-n_tiles) % pad_tiles_to)
     cap = cfg.max_instances

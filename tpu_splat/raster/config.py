@@ -35,10 +35,21 @@ class RasterConfig:
     tile_depth: int = 1024  # per-tile instance capacity (K)
     chunk: int = 32  # instances blended per scan step
     depth_ratio: float = 0.0  # expected(0) vs median(1) surf depth mix
-    backend: str = "xla"  # "xla" (differentiable scan) | "pallas" (fwd kernel)
+    # "auto" resolves to the Pallas kernels on TPU (the production path,
+    # like the reference training on its CUDA rasterizer) and to the XLA
+    # scan on CPU (fast enough for tests; Pallas there is interpret-mode).
+    backend: str = "auto"  # "auto" | "xla" | "pallas"
 
     def __post_init__(self):
         assert self.tile_depth % self.chunk == 0
+        assert self.backend in ("auto", "xla", "pallas"), self.backend
+
+    def use_pallas(self) -> bool:
+        if self.backend == "auto":
+            import jax
+
+            return jax.default_backend() == "tpu"
+        return self.backend == "pallas"
 
     @property
     def n_chunks(self) -> int:

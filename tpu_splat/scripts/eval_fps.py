@@ -10,6 +10,9 @@ import numpy as np
 
 
 def main(argv=None):
+    import tpu_splat
+
+    tpu_splat.setup_compilation_cache()
     import jax
     import jax.numpy as jnp
 

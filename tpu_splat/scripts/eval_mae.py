@@ -22,6 +22,9 @@ def mae_degrees(pred: np.ndarray, gt: np.ndarray, mask: np.ndarray | None = None
 
 
 def main(argv=None):
+    import tpu_splat
+
+    tpu_splat.setup_compilation_cache()
     import jax.numpy as jnp
 
     from tpu_splat.config import build_parser, get_combined_args

@@ -74,6 +74,9 @@ def evaluate(model_paths, split="test"):
 
 
 def main(argv=None):
+    import tpu_splat
+
+    tpu_splat.setup_compilation_cache()
     parser = ArgumentParser()
     parser.add_argument("--model_paths", "-m", nargs="+", required=True)
     parser.add_argument("--split", default="test")

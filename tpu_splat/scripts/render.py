@@ -112,6 +112,9 @@ def render_sets(args):
 
 
 def main(argv=None):
+    import tpu_splat
+
+    tpu_splat.setup_compilation_cache()
     from tpu_splat.config import build_parser, get_combined_args
 
     parser = build_parser(fill_none_model=True)

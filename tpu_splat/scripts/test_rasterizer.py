@@ -20,6 +20,9 @@ def stage_state(capacity: int = 8):
 
 
 def main(argv=None):
+    import tpu_splat
+
+    tpu_splat.setup_compilation_cache()
     import jax.numpy as jnp
 
     from tpu_splat.data import orbit_camera

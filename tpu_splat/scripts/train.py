@@ -153,10 +153,12 @@ def training(args, argv_namespace=None):
             frame_idx=vind,
         )
 
-        ema_loss = 0.4 * float(aux.loss) + 0.6 * ema_loss
+        # device-side EMA: float() would force a per-step host sync, which
+        # serializes dispatch on high-latency links; read only when printing
+        ema_loss = 0.4 * aux.loss + 0.6 * ema_loss
         if iteration % 100 == 0 or iteration == 1:
             print(
-                f"[{iteration}] loss {ema_loss:.5f} psnr {float(aux.psnr):.2f} "
+                f"[{iteration}] loss {float(ema_loss):.5f} psnr {float(aux.psnr):.2f} "
                 f"pts {int(aux.n_alive)} inst {int(aux.num_instances)} "
                 f"maxtile {int(aux.max_tile_count)} "
                 f"({(time.time()-t_start):.0f}s)"
@@ -262,6 +264,9 @@ def _service_viewer(gui, state, cfg, bg, source_path, iteration):
 
 
 def main(argv=None):
+    import tpu_splat
+
+    tpu_splat.setup_compilation_cache()
     from tpu_splat.config import build_parser
 
     parser = build_parser()

@@ -83,6 +83,9 @@ def process_method(method_dir: str, views_per_sheet: int = 8):
 
 
 def main(argv=None):
+    import tpu_splat
+
+    tpu_splat.setup_compilation_cache()
     parser = ArgumentParser()
     parser.add_argument("--model_paths", "-m", nargs="+", required=True)
     parser.add_argument("--split", default="test")

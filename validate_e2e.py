@@ -19,6 +19,9 @@ SMOKE = os.environ.get("E2E_SMOKE", "") == "1"  # tiny CPU smoke run
 
 
 def main():
+    import tpu_splat
+
+    tpu_splat.setup_compilation_cache()
     import jax
     import jax.numpy as jnp
     from tpu_splat.config import OptimizationParams

@@ -9,6 +9,9 @@ import numpy as np
 
 
 def main():
+    import tpu_splat
+
+    tpu_splat.setup_compilation_cache()
     import jax
     import jax.numpy as jnp
     from tpu_splat.data import random_scene, orbit_camera
