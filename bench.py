@@ -92,6 +92,7 @@ def main():
             tile_depth=2048,
             chunk=32,
             backend="pallas",
+            grad_channels="train",  # the reference training loss shape
         )
         iters = 10
     else:  # CPU smoke config

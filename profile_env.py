@@ -2,9 +2,8 @@
 
 Uses a smooth synthetic reflection-direction map (what deferred reflection
 feeds the sampler in real scenes: dirs vary smoothly except along object
-silhouettes), plus a random-dir worst case. Toggles cubemap.USE_MM_FORWARD
-to compare the XLA gather forward vs the one-hot MXU sampler (now fed in
-16x32 tile order so edge pixels cluster into few generic blocks).
+silhouettes), plus a random-dir worst case. Forward = XLA gathers; backward
+= the one-hot MXU tap-accumulation kernel.
 """
 from __future__ import annotations
 
@@ -63,12 +62,8 @@ def main():
         def fwdbwd(tex, dirs):
             return jax.grad(fwd, argnums=(0, 1))(tex, dirs)
 
-        for mm in (False, True):
-            cm.USE_MM_FORWARD = mm
-            tag = "mm" if mm else "gather"
-            timed(fwd, (params.texture, dirs), name=f"[{name}] env fwd {tag}")
-            timed(fwdbwd, (params.texture, dirs), name=f"[{name}] env fwd+bwd {tag}")
-    cm.USE_MM_FORWARD = False
+        timed(fwd, (params.texture, dirs), name=f"[{name}] env fwd gather")
+        timed(fwdbwd, (params.texture, dirs), name=f"[{name}] env fwd+bwd")
 
 
 if __name__ == "__main__":

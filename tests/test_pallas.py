@@ -97,3 +97,47 @@ def test_pallas_gradients_match_xla():
         assert not np.any(np.isnan(b)), f"NaN in pallas grad {n}"
         scale = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / scale, a / scale, atol=1e-3, err_msg=n)
+
+
+def test_pallas_train_grads_match_full():
+    """grad_channels='train' statically drops the distortion/M1/M2/median
+    cotangent chains; for a loss that never touches those channels (the
+    reference training loss shape, train.py:168-196) its gradients must be
+    identical to the full backward."""
+    act, cam = _scene(n=80, seed=5)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    target = jnp.full((H, W, 3), 0.4)
+    trn = RasterConfig(
+        max_tiles_per_gaussian=16, max_instances=4096, tile_depth=256,
+        chunk=16, backend="pallas", grad_channels="train",
+    )
+
+    def make_loss(cfg):
+        def loss(means, scales, rots, opa, sh, refl):
+            out = rasterize(
+                means, scales, rots, opa, refl, cam, bg, cfg,
+                sh=sh, sh_degree=0,
+            )
+            # train-shaped loss: color, alpha (via final_T), normal,
+            # expected depth, refl — NO distortion / median / M1 / M2
+            return (
+                jnp.sum((out.color - target) ** 2)
+                + 0.2 * jnp.sum(out.others[..., 0])
+                + 0.3 * jnp.sum(out.others[..., 2:5])
+                + 0.15 * jnp.sum(out.refl_map)
+                + 0.07 * jnp.sum(out.final_T)
+            )
+        return loss
+
+    args = (act["means3d"], act["scales"], act["rotations"], act["opacity"],
+            act["sh"], act["refl"])
+    g_f = jax.grad(make_loss(PAL), argnums=tuple(range(6)))(*args)
+    g_t = jax.grad(make_loss(trn), argnums=tuple(range(6)))(*args)
+    for n, a, b in zip(["means", "scales", "rots", "opa", "sh", "refl"], g_f, g_t):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6,
+                                   rtol=1e-5, err_msg=n)
+
+
+def test_train_grad_channels_requires_zero_depth_ratio():
+    with pytest.raises(AssertionError):
+        RasterConfig(grad_channels="train", depth_ratio=0.5)

@@ -3,45 +3,49 @@
 Speed-of-light replacement for the XLA scan in tpu_splat.raster.blend
 (itself the TPU analogue of renderCUDA, forward.cu:258-489). Design:
 
-- The ray-splat intersection is algebraically linear in the pixel: with
-  k = x*Tw - Tu and l = y*Tw - Tv, the homogeneous intersection
-  p = k x l = x*(Tv x Tw) + y*(Tw x Tu) + (Tu x Tv) — the quadratic term
-  cancels. So each instance carries PRECOMPUTED COEFFICIENTS (computed once
-  per Gaussian in pack_features, differentiably, then gathered per
-  instance), and the kernel evaluates p0/p1/p2, the depth numerator
-  p.Tw, and the low-pass screen ellipse as small [3, CI] x [3, 256]
-  MATMULS over the tile's pixel basis (x, y, 1) — MXU work in the data's
-  native [features, instances] layout, replacing ~20 lane->sublane
-  relayout broadcasts per chunk in the elementwise formulation.
-- Opacity rides in log space: alpha = exp(min(log .99, max(s3, s2))) with
-  s3 = log(opa) - rho3d/2 and s2 = log(opa) - rho2d/2 (the rho2d polynomial
-  and log-opacity folded into the same matmul coefficients).
-- The sequential "over" operator and the depth-distortion prefix sums run
-  as triangular one-hot matmuls: exclusive cumsum = Lstrict @ v on the MXU
-  (log-space for the transmittance product), replacing log2(CI)-step
-  Hillis-Steele shifts.
+- Instances ship RAW per-Gaussian attributes (homography rows Tu/Tv/Tw,
+  low-pass center, log-opacity, content) gathered once into a feature-major
+  [F=24, N_cap] slab. The ray-splat intersection is algebraically linear in
+  the pixel: with k = x*Tw - Tu and l = y*Tw - Tv, the homogeneous
+  intersection p = k x l = x*(Tv x Tw) + y*(Tw x Tu) + (Tu x Tv) — the
+  quadratic term cancels. The kernel derives the cross-product coefficient
+  vectors A, B, C per instance IN-KERNEL on [1, CI] rows (cheap, 1/256 the
+  area of a pixel op) and evaluates everything per pixel on the MXU:
+    rho3d numerator q = p0^2 + p1^2 is QUADRATIC in the pixel -> one
+    [6, CI] x [6, L] dot against the basis (x^2, y^2, xy, x, y, 1);
+    p2 / depth-numerator / low-pass exponent are linear -> one batched
+    [3, 3*CI] x [3, L] dot. All on a TILE-RECENTERED basis (|x'| <= 8,
+    exact small ints) so f32 conditioning matches the per-pixel oracle.
+- The sequential "over" operator runs in log space with the exclusive
+  prefix sum as a strict-lower-triangular one-hot matmul on the MXU; the
+  early-termination mask needs NO second scan: T_after is monotone within
+  the accepted subsequence, so `contrib = accept & (T_after >= T_EPS)`
+  reproduces the CUDA done/skip semantics (forward.cu:408-416) exactly.
 - Per-pixel weighted accumulation of color/normal/refl/scope is ONE
-  [8, CI] @ [CI, 256] matmul per chunk (features stationary, blend weights
-  moving); per-instance gradients in the backward are the transposed
-  matmuls [k, 256] x [CI, 256] -> [k, CI], landing directly in the
-  feature-major gradient slab layout.
-- Instance attributes are pre-gathered ONCE in depth-sorted instance order
-  into a feature-major [F=24, N_cap] array; each tile's range is padded to
-  a 128-instance boundary, ranges mutually exclusive, so every DMA is
-  aligned and per-instance outputs never cross tiles.
+  [8, CI] @ [CI, L] matmul per chunk; full sums over the chunk axis ride a
+  single [1, CI] ones-row matmul over lane-concatenated operands.
+- Cross-tile software pipelining: tile t's first feature chunk is DMA'd by
+  tile t-1 (double-buffered head slabs), so the per-tile DMA latency of
+  short ranges (1-2 chunks is the common case in trained scenes) is hidden
+  behind the previous tile's compute. Per-Gaussian max-weight writebacks
+  ride a 4-deep global ring drained only at the final grid step.
 - grid = (num_tiles,): per-tile (start, count) via scalar prefetch; the
   chunk loop is a while_loop with the REAL trip count and terminates early
-  once every pixel saturates (T < 1e-4), like the CUDA block vote
-  (forward.cu:338-340). Double-buffered DMA hides the feature loads.
+  once every pixel saturates (T < 1e-4), like the CUDA block vote.
 
 The backward kernel re-walks each tile back-to-front, reconstructing
 transmittance by dividing alphas back out in log space (the TPU analogue of
-backward.cu:143-470), with suffix sums as reversed triangular matmuls and a
-hand-derived gradient chain into the coefficient space; pack_features'
-autodiff VJP carries coefficients back to transMat/xy/opacity per Gaussian.
+backward.cu:143-470) with suffix sums as reversed triangular matmuls, and a
+hand-derived gradient chain through the coefficient space back to the RAW
+attributes (cross-product VJPs on [1, CI] rows). `full_grads=False`
+("train-shaped") statically drops the depth-distortion / M1 / M2 / median
+cotangent chains — the reference training loss never uses those channels
+(train.py:168-196, depth_ratio=0 default arguments/__init__.py:75) — for a
+~40% lighter sweep; render() asserts the config matches.
 """
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -60,24 +64,22 @@ from tpu_splat.raster.config import (
     FILTER_INV_SQUARE,
 )
 
-# feature rows in the packed [F, N] instance array (coefficient space).
-# The kernel evaluates every pixel-linear form on a TILE-RECENTERED basis
-# (x' = x - cx with cx the tile center, |x'| <= 8): the constant
-# coefficients are re-derived in-kernel from the linear ones per tile,
-# which keeps f32 cancellation at the oracle's per-pixel conditioning
-# instead of O(image width) magnitudes.
-F_CP0 = 0  # 0:3   p0 = a x + b y + c   (a, b, c at x=0 origin)
-F_CP1 = 3  # 3:6
-F_CP2 = 6  # 6:9
-F_CDN = 9  # 9:12  depth numerator p . Tw
-F_AX2 = 12  # FI * xy.x   (low-pass screen ellipse center)
-F_AY2 = 13  # FI * xy.y
-F_LO = 14  # log(opa)
-F_TW2 = 15  # Tw.z (depth when the intersection is unstable)
-F_CON = 16  # 16:24 content: color 3, normal 3, refl, scope
+# feature rows in the packed [F, N] instance slab (raw attributes; all
+# pixel-space coefficients are derived in-kernel on the recentered basis)
+F_TU = 0  # 0:3  homography row Tu
+F_TV = 3  # 3:6  homography row Tv
+F_TW = 6  # 6:9  homography row Tw
+F_AX2 = 9  # FILTER_INV_SQUARE * xy.x (low-pass screen ellipse center)
+F_AY2 = 10  # FILTER_INV_SQUARE * xy.y
+F_LO = 11  # log(opacity)
+F_CON = 12  # 12:20 content: color 3, normal 3, refl, scope
+N_CON = 8
+F_GRAD = 19  # gradient columns 0:19 can be nonzero (scope + pads never)
 F_PAD = 24
 
 LOG_AMAX = math.log(ALPHA_MAX)
+M_C1 = FAR_N / (FAR_N - NEAR_N)
+M_C2 = M_C1 * NEAR_N
 
 # packed per-pixel output rows in [T, 16, 256]
 O_COL = 0  # 0:3
@@ -96,76 +98,34 @@ S_DONE = 16  # scratch-only row: termination flag
 
 CI = 128  # instances per chunk; lane-tile (128) aligned DMA slabs
 L = TILE_PIX
+WSLOT = 4  # wmax / grad writeback ring depth
 
 _HP = jax.lax.Precision.HIGHEST
+_HI = jax.lax.Precision.HIGH
 
 
-def _dot_k(rows, rhs):
-    """[k, CI] coefficient rows x [k, L] basis -> [CI, L] (contract dim 0)."""
+def _dot_k(rows, rhs, precision=_HP):
+    """[k, M] x [k, L] -> [M, L] (contract dim 0; k pads to 8 sublanes)."""
     return jax.lax.dot_general(
         rows, rhs, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HP,
-    )
-
-
-def _dot_mm(a, b):
-    """[M, K] @ [K, N] standard matmul in f32."""
-    return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HP,
-    )
-
-
-def _dot_px(rows, mat):
-    """[k, L] x [CI, L] -> [k, CI] (contract the pixel axis)."""
-    return jax.lax.dot_general(
-        rows, mat, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HP,
-    )
-
-
-USE_SCAN_DOTS = False  # A/B: triangular-matmul scans vs Hillis-Steele shifts
-
-
-def _incl_cumsum_rows(x):
-    """Inclusive cumsum along axis 0 (instances), Hillis-Steele shifts."""
-    zeros = jnp.zeros_like(x)
-    shift = 1
-    while shift < CI:
-        shifted = jnp.concatenate([zeros[:shift], x[:-shift]], axis=0)
-        x = x + shifted
-        shift *= 2
-    return x
-
-
-def _suffix_incl_sum_rows(x):
-    """Suffix-inclusive cumsum along axis 0: out_i = sum_{j>=i} x_j."""
-    zeros = jnp.zeros_like(x)
-    shift = 1
-    while shift < CI:
-        shifted = jnp.concatenate([x[shift:], zeros[:shift]], axis=0)
-        x = x + shifted
-        shift *= 2
-    return x
-
-
-def _dot_scan(tri, x, precision):
-    return jax.lax.dot_general(
-        tri, x, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )
 
 
-def _excl_cumsum(x, ltri, precision=jax.lax.Precision.HIGH):
-    if USE_SCAN_DOTS:
-        return _dot_scan(ltri, x, precision)
-    return _incl_cumsum_rows(x) - x
+def _dot_mm(a, b, precision=_HP):
+    """[M, K] @ [K, N] standard matmul in f32."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
 
 
-def _suffix_incl(x, utri, precision=jax.lax.Precision.HIGH):
-    if USE_SCAN_DOTS:
-        return _dot_scan(utri, x, precision)
-    return _suffix_incl_sum_rows(x)
+def _dot_px(rows, mat, precision=_HP):
+    """[k, L] x [M, L] -> [k, M] (contract the pixel axis)."""
+    return jax.lax.dot_general(
+        rows, mat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
 
 
 def _ltri_strict():
@@ -182,51 +142,123 @@ def _utri_incl():
     return (j >= i).astype(jnp.float32)
 
 
-def _chunk_geometry(fb, pixx, pixy, qv, cx, cy):
-    """Shared forward geometry on the tile-recentered basis.
+def _excl_cumsum(x, ltri, precision=_HI):
+    """Exclusive prefix sum along the instance axis via MXU tri-matmul."""
+    return _dot_mm(ltri, x, precision=precision)
 
-    fb: [F_PAD, CI] feature slab value. ONE [F, CI] -> [CI, F] transpose
-    puts every coefficient in [CI, 1] broadcast position; the linear forms
-    are then plain FMAs against the [1, L] pixel rows (cheaper on this
-    hardware than small-K MXU dots, which pad K). Returns [CI, L] arrays."""
+
+def _suffix_incl(x, utri, precision=_HI):
+    """Inclusive suffix sum along the instance axis via MXU tri-matmul."""
+    return _dot_mm(utri, x, precision=precision)
+
+
+def _cross_rows(a, b):
+    """Component rows of a x b; a, b are 3-tuples of [1, CI] rows."""
+    a0, a1, a2 = a
+    b0, b1, b2 = b
+    return (a1 * b2 - a2 * b1, a2 * b0 - a0 * b2, a0 * b1 - a1 * b0)
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _geom_rows(fb, cxf, cyf):
+    """Per-instance coefficient derivation on [1, CI] rows (VPU-cheap).
+
+    Returns a dict of coefficient rows on the tile-recentered basis:
+    q (6: xx, yy, xy, x, y, 1), p2 (3), dn (3), s2 linear part (3), plus
+    the intermediate rows the backward chains need.
+    """
     fi = FILTER_INV_SQUARE
-    ft = jnp.transpose(fb)  # [CI, F_PAD]
+    r = lambda k: fb[k : k + 1, :]
+    Tu = (r(F_TU), r(F_TU + 1), r(F_TU + 2))
+    Tv = (r(F_TV), r(F_TV + 1), r(F_TV + 2))
+    Tw = (r(F_TW), r(F_TW + 1), r(F_TW + 2))
+    A = _cross_rows(Tv, Tw)  # p = x*A + y*B + C (homogeneous intersection)
+    B = _cross_rows(Tw, Tu)
+    C = _cross_rows(Tu, Tv)
+    # recentered constant terms c' = c + cx*a + cy*b
+    cp0 = C[0] + cxf * A[0] + cyf * B[0]
+    cp1 = C[1] + cxf * A[1] + cyf * B[1]
+    cp2 = C[2] + cxf * A[2] + cyf * B[2]
+    # depth numerator p . Tw
+    da = _dot3(A, Tw)
+    db = _dot3(B, Tw)
+    dc = _dot3(C, Tw)
+    dcc = dc + cxf * da + cyf * db
+    # low-pass exponent s2 = -fi/2 (x^2+y^2) + sx x + sy y + s0
+    lo = r(F_LO)
+    sx = r(F_AX2) - fi * cxf
+    sy = r(F_AY2) - fi * cyf
+    s0 = lo - (sx * sx + sy * sy) * (0.5 / fi)
+    return dict(
+        A=A, B=B, C=C, Tu=Tu, Tv=Tv, Tw=Tw,
+        cp0=cp0, cp1=cp1, cp2=cp2, da=da, db=db, dcc=dcc,
+        sx=sx, sy=sy, s0=s0, lo=lo,
+    )
 
-    def col(k):
-        return ft[:, k:k + 1]  # [CI, 1]
 
-    def linform(g):
-        a, b, c = col(g), col(g + 1), col(g + 2)
-        return a * pixx + b * pixy + (c + cx * a + cy * b)
+def _geom_eval(gr, basis3):
+    """Evaluate the five pixel-linear fields with ONE batched MXU dot.
 
-    p0 = linform(F_CP0)
-    p1 = linform(F_CP1)
-    p2 = linform(F_CP2)
-    dn = linform(F_CDN)
-    ax2p = col(F_AX2) - fi * cx  # FI * (xy.x - cx)
-    ay2p = col(F_AY2) - fi * cy
-    lo_c = col(F_LO)
-    c2p = -(ax2p * ax2p + ay2p * ay2p) * (0.5 / fi) + lo_c
-    s2 = ax2p * pixx + ay2p * pixy + c2p + qv
+    basis3: [3, L] rows (x, y, 1) on the recentered basis. Returns
+    (p0, p1, p2, dn, s2lin) as [CI, L] arrays. p0/p1 are evaluated as
+    linear forms and squared PER PIXEL (not expanded into quadratic
+    coefficients) so rho3d's rounding matches the oracle's — an
+    algebraic expansion shifts alpha by ~1e-6, enough to flip the
+    T < 1e-4 termination knife-edge on opaque stacks."""
+    A, B, C = gr["A"], gr["B"], gr["C"]
+    row_x = jnp.concatenate([A[0], A[1], A[2], gr["da"], gr["sx"]], axis=1)
+    row_y = jnp.concatenate([B[0], B[1], B[2], gr["db"], gr["sy"]], axis=1)
+    row_c = jnp.concatenate(
+        [gr["cp0"], gr["cp1"], gr["cp2"], gr["dcc"], gr["s0"]], axis=1
+    )
+    M3 = jnp.concatenate([row_x, row_y, row_c], axis=0)  # [3, 5CI]
+    G = _dot_k(M3, basis3)  # [5CI, L]
+    return (G[0:CI], G[CI : 2 * CI], G[2 * CI : 3 * CI],
+            G[3 * CI : 4 * CI], G[4 * CI : 5 * CI])
 
+
+def _alpha_depth(fb, gr, basis3, r2):
+    """Shared fwd/bwd field evaluation. Returns dict of [CI, L] arrays."""
+    fi = FILTER_INV_SQUARE
+    p0, p1, p2, dn, s2lin = _geom_eval(gr, basis3)
+    s2 = s2lin - (0.5 * fi) * r2
     unstable = jnp.abs(p2) < 1e-4
     ivp = 1.0 / jnp.where(unstable, 1.0, p2)
-    r3h = 0.5 * (p0 * p0 + p1 * p1) * (ivp * ivp)  # rho3d / 2
+    ivp2 = ivp * ivp
+    r3h = 0.5 * (p0 * p0 + p1 * p1) * ivp2  # rho3d / 2
+    lo_c = jnp.transpose(gr["lo"])  # [CI, 1]
     s3 = jnp.where(unstable, -1e8, lo_c - r3h)
     s = jnp.maximum(s3, s2)
     a_log = jnp.minimum(LOG_AMAX, s)
     alpha = jnp.exp(a_log)
-    depth = jnp.where(unstable, col(F_TW2) * jnp.ones_like(p2), dn * ivp)
+    tw2_c = jnp.transpose(fb[F_TW + 2 : F_TW + 3, :])  # [CI, 1]
+    depth = jnp.where(unstable, tw2_c * jnp.ones_like(p2), dn * ivp)
     return dict(
         p0=p0, p1=p1, p2=p2, dn=dn, s2=s2, s3=s3, s=s, unstable=unstable,
-        ivp=ivp, r3h=r3h, alpha=alpha, depth=depth, ax2p=ax2p, ay2p=ay2p,
-        ft=ft,
+        ivp=ivp, ivp2=ivp2, r3h=r3h, alpha=alpha, depth=depth,
     )
+
+
+def _basis(orgx, orgy):
+    """Tile-recentered pixel basis rows. Returns (basis3 [3, L], r2 [1, L],
+    cxf, cyf)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    cx = orgx + 7
+    cy = orgy + 7
+    pixx = (lane % TILE - 7).astype(jnp.float32)
+    pixy = (lane // TILE - 7).astype(jnp.float32)
+    ones1 = jnp.ones((1, L), jnp.float32)
+    basis3 = jnp.concatenate([pixx, pixy, ones1], axis=0)
+    r2 = pixx * pixx + pixy * pixy
+    return basis3, r2, jnp.float32(cx), jnp.float32(cy)
 
 
 def _m_of_depth(depth):
     safe_depth = jnp.maximum(depth, NEAR_N)
-    m = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N / safe_depth)
+    m = M_C1 - M_C2 * (1.0 / safe_depth)
     return m, safe_depth
 
 
@@ -244,73 +276,108 @@ def _tile_blend_kernel(
     wmax_ref,  # [8, N_cap] ANY/HBM (row 0 = wmax; aliased, zero elsewhere)
     # scratch
     state,  # VMEM (24, L); rows 0..15 are the output block, 16+ internal
-    fbuf,  # VMEM (2, F_PAD, CI)
-    wbuf,  # VMEM (2, 8, CI)
-    dma_sem,
+    hbuf,  # VMEM (2, F_PAD, CI): per-tile head chunk, filled by tile t-1
+    fbuf,  # VMEM (2, F_PAD, CI): streaming chunks >= 1
+    wbuf,  # VMEM (WSLOT, 8, CI)
+    wcnt,  # SMEM (1,) i32: global wmax writeback counter
+    h_sem,
+    f_sem,
     w_sem,
 ):
     t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
     start = starts_ref[t]
     count = counts_ref[t]
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    # tile-recentered pixel basis: x' = x - (orgx + 7), |x'| <= 8 (exact ints)
-    cx = orgx_ref[t] + 7
-    cy = orgy_ref[t] + 7
-    pixx = (lane % TILE - 7).astype(jnp.float32)
-    pixy = (lane // TILE - 7).astype(jnp.float32)
-    cxf = jnp.float32(cx)
-    cyf = jnp.float32(cy)
-    qv = -0.5 * FILTER_INV_SQUARE * (pixx * pixx + pixy * pixy)  # [1, L]
+    @pl.when(t == 0)
+    def _init_ring():
+        wcnt[0] = 0
+
+    def head_dma(tile):
+        base = pl.multiple_of(starts_ref[tile], CI)
+        return pltpu.make_async_copy(
+            feats_ref.at[:, pl.ds(base, CI)], hbuf.at[tile % 2],
+            h_sem.at[tile % 2],
+        )
+
+    @pl.when(t == 0)
+    def _prime_own_head():
+        @pl.when(count > 0)
+        def _():
+            head_dma(0).start()
+
+    # cross-tile pipeline: issue tile t+1's first chunk before our own sweep
+    @pl.when(t + 1 < n_tiles)
+    def _prefetch_next_head():
+        @pl.when(counts_ref[t + 1] > 0)
+        def _():
+            head_dma(t + 1).start()
+
+    basis3, r2, cxf, cyf = _basis(orgx_ref[t], orgy_ref[t])
     ltri = _ltri_strict()
 
     state[:] = jnp.zeros((24, L), jnp.float32)
     state[O_T, :] = jnp.ones((L,), jnp.float32)
-    wbuf[:] = jnp.zeros((2, 8, CI), jnp.float32)
 
     n_chunks = pl.cdiv(count, CI)
     row_i = jax.lax.broadcasted_iota(jnp.int32, (CI, 1), 0)
 
-    def feat_dma(ci, slot):
+    def feat_dma(ci):
         base = pl.multiple_of(start + ci * CI, CI)
         return pltpu.make_async_copy(
-            feats_ref.at[:, pl.ds(base, CI)], fbuf.at[slot], dma_sem.at[slot]
+            feats_ref.at[:, pl.ds(base, CI)], fbuf.at[ci % 2], f_sem.at[ci % 2]
         )
 
-    @pl.when(n_chunks > 0)
-    def _prefetch_first():
-        feat_dma(0, 0).start()
+    @pl.when(n_chunks > 1)
+    def _prefetch_second():
+        feat_dma(1).start()
 
-    def store_wmax(ci, base, wmax_ci):
+    def store_wmax(base, wmax_ci):
         # Mosaic requires full-tile (8,128) slab stores into tiled HBM refs,
         # so wmax rides in row 0 of an [8, CI] slab (rows 1..7 zero).
-        # Double-buffered: wait for the copy issued 2 chunks ago on this
-        # slot before refilling it.
-        slot = ci % 2
+        # Global WSLOT-deep ring: wait for the copy issued WSLOT chunks ago
+        # on this slot before refilling; drained at the final grid step.
+        k = wcnt[0]
+        slot = k % WSLOT
         base = pl.multiple_of(base, CI)
         copy = pltpu.make_async_copy(
             wbuf.at[slot], wmax_ref.at[:, pl.ds(base, CI)], w_sem.at[slot]
         )
 
-        @pl.when(ci >= 2)
+        @pl.when(k >= WSLOT)
         def _wait_prev():
-            copy.wait()  # same slot, same sem: retires the ci-2 copy
+            copy.wait()  # same slot, same sem: retires the k-WSLOT copy
 
+        wbuf[slot] = jnp.zeros((8, CI), jnp.float32)
         wbuf[slot, 0, :] = wmax_ci
         copy.start()
+        wcnt[0] = k + 1
 
     def chunk_body(carry):
         ci, _ = carry
-        slot = ci % 2
         base = pl.multiple_of(start + ci * CI, CI)
-        feat_dma(ci, slot).wait()
 
-        @pl.when(ci + 1 < n_chunks)
+        # chunk 0 arrives in the head slab (DMA'd by the previous tile);
+        # later chunks stream through the double-buffered fbuf
+        @pl.when(ci == 0)
+        def _wait_head():
+            pltpu.make_async_copy(
+                feats_ref.at[:, pl.ds(base, CI)], hbuf.at[t % 2],
+                h_sem.at[t % 2],
+            ).wait()
+
+        @pl.when(ci > 0)
+        def _wait_stream():
+            feat_dma(ci).wait()
+
+        fb = jnp.where(ci == 0, hbuf[t % 2], fbuf[ci % 2])
+
+        @pl.when((ci + 1 < n_chunks) & (ci > 0))
         def _prefetch_next():
-            feat_dma(ci + 1, (ci + 1) % 2).start()
+            feat_dma(ci + 1).start()
 
-        fb = fbuf[slot]
-        g = _chunk_geometry(fb, pixx, pixy, qv, cxf, cyf)
+        gr = _geom_rows(fb, cxf, cyf)
+        g = _alpha_depth(fb, gr, basis3, r2)
         alpha, depth = g["alpha"], g["depth"]
 
         idx = base + row_i
@@ -319,23 +386,48 @@ def _tile_blend_kernel(
         accept = (depth >= NEAR_N) & (alpha >= ALPHA_MIN) & valid & ~done
         a_eff = jnp.where(accept, alpha, 0.0)
 
-        # exclusive prefix product of (1 - a) as a log-space triangular matmul
+        # transmittance: exclusive prefix product of (1 - a) in log space.
+        # HIGHEST: at HIGH (bf16x3) a 128-term sum of |u| ~ 4.6 (opaque
+        # stacks) rounds by ~3e-4 after exp — visible against the oracle.
         u = jnp.log1p(-a_eff)
-        prefix = jnp.exp(_excl_cumsum(u, ltri))
+        prefix = jnp.exp(_excl_cumsum(u, ltri, precision=_HP))
         T_carry = state[O_T, :].reshape(1, L)
         T_before = T_carry * prefix
-        trigger = accept & (T_before * (1.0 - alpha) < T_EPS)
-        trig_f = trigger.astype(jnp.float32)
-        term_excl = _excl_cumsum(trig_f, ltri, jax.lax.Precision.DEFAULT) > 0.0
-        contrib = accept & ~term_excl & ~trigger
+        one_m = 1.0 - a_eff
+        T_after = T_before * one_m
+        # T_after is monotone over the accepted subsequence, so a single
+        # threshold reproduces skip-after-termination (forward.cu:408-416)
+        contrib = accept & (T_after >= T_EPS)
         w = jnp.where(contrib, alpha * T_before, 0.0)
-
         u_con = jnp.where(contrib, u, 0.0)
-        T_new = T_carry * jnp.exp(jnp.sum(u_con, axis=0, keepdims=True))
-        done_new = done | (jnp.sum(trig_f, axis=0, keepdims=True) > 0.0)
+
+        # depth distortion (2DGS appendix; forward.cu:419-427)
+        m, _sd = _m_of_depth(depth)
+        mw = m * w
+        m2w = m * mw
+        pre = _excl_cumsum(jnp.concatenate([mw, m2w], axis=1), ltri)  # [CI, 2L]
+        A_ = 1.0 - T_before
+        M1c = state[O_M1, :].reshape(1, L) + pre[:, :L]
+        M2c = state[O_M2, :].reshape(1, L) + pre[:, L:]
+        dterm = (m * m * A_ + M2c - 2.0 * m * M1c) * w
+
+        # all full chunk-axis sums in ONE ones-row matmul
+        sums = _dot_mm(
+            jnp.ones((1, CI), jnp.float32),
+            jnp.concatenate([u, u_con, w * depth, mw, m2w, dterm], axis=1),
+            precision=_HP,  # the u columns feed exp(T) — see scan note
+        )  # [1, 6L]
+        T_all = T_carry * jnp.exp(sums[:, 0:L])
+        T_new = T_carry * jnp.exp(sums[:, L : 2 * L])
+        done_new = done | (T_all < T_EPS)
+
+        state[O_DEPTH, :] += sums[0, 2 * L : 3 * L]
+        state[O_M1, :] += sums[0, 3 * L : 4 * L]
+        state[O_M2, :] += sums[0, 4 * L : 5 * L]
+        state[O_DIST, :] += sums[0, 5 * L : 6 * L]
 
         # content accumulation: ONE [8, CI] @ [CI, L] matmul
-        cw = _dot_mm(fb[F_CON:F_CON + 8], w)  # [8, L]
+        cw = _dot_mm(fb[F_CON : F_CON + N_CON], w, precision=_HI)  # [8, L]
         state[O_COL, :] += cw[0]
         state[O_COL + 1, :] += cw[1]
         state[O_COL + 2, :] += cw[2]
@@ -344,21 +436,6 @@ def _tile_blend_kernel(
         state[O_NRM + 2, :] += cw[5]
         state[O_REFL, :] += cw[6]
         state[O_SCOPE, :] += cw[7]  # thresholded > 0 after the sweep
-        state[O_DEPTH, :] += jnp.sum(w * depth, axis=0)
-
-        # depth distortion (2DGS appendix; forward.cu:419-427)
-        m, _sd = _m_of_depth(depth)
-        mw = m * w
-        m2w = m * mw
-        pre = _excl_cumsum(jnp.concatenate([mw, m2w], axis=1), ltri)  # [CI, 2L]
-        A = 1.0 - T_before
-        M1c = state[O_M1, :].reshape(1, L) + pre[:, :L]
-        M2c = state[O_M2, :].reshape(1, L) + pre[:, L:]
-        state[O_DIST, :] += jnp.sum(
-            (m * m * A + M2c - 2.0 * m * M1c) * w, axis=0
-        )
-        state[O_M1, :] += jnp.sum(mw, axis=0)
-        state[O_M2, :] += jnp.sum(m2w, axis=0)
 
         rank = (idx - start + 1).astype(jnp.float32)  # 1-based
         med_cond = contrib & (T_before > 0.5)
@@ -379,7 +456,7 @@ def _tile_blend_kernel(
         state[O_T, :] = T_new.reshape(L)
         state[S_DONE, :] = done_new.astype(jnp.float32).reshape(L)
 
-        store_wmax(ci, base, jnp.max(jnp.where(valid, w, 0.0), axis=1))
+        store_wmax(base, jnp.max(jnp.where(valid, w, 0.0), axis=1))
 
         all_done = jnp.min(done_new.astype(jnp.float32)) > 0.5
         return ci + 1, all_done
@@ -393,27 +470,31 @@ def _tile_blend_kernel(
     )
     # (skipped chunks need no zero-fill: wmax is aliased to a zeros input)
 
-    # retire outstanding copies so the next grid program's semaphores are
-    # clean: the early-exit path leaves the ci_f feature prefetch in flight,
-    # and the last <=2 wmax stores are always in flight.
-    @pl.when(ci_f < n_chunks)
+    # retire outstanding feature copies so later programs' semaphores are
+    # clean: early exit can leave the ci_f stream prefetch in flight; an
+    # unconsumed head (count > 0 but exit before chunk 0 never happens —
+    # chunk 0 always runs when count > 0, waiting the head there)
+    @pl.when((ci_f >= 1) & (ci_f < n_chunks))
     def _drain_feat():
-        feat_dma(ci_f, ci_f % 2).wait()
+        feat_dma(ci_f).wait()
 
-    def _wdrain(ci):
-        return pltpu.make_async_copy(
-            wbuf.at[ci % 2],
-            wmax_ref.at[:, pl.ds(pl.multiple_of(start, CI), CI)],
-            w_sem.at[ci % 2],
-        ).wait()
+    # final grid step: drain the last <= WSLOT wmax writebacks
+    @pl.when(t == n_tiles - 1)
+    def _drain_wring():
+        k = wcnt[0]
 
-    @pl.when(ci_f >= 1)
-    def _drain_w1():
-        _wdrain(ci_f - 1)
+        def body(j, _):
+            @pl.when(j < jnp.minimum(k, WSLOT))
+            def _():
+                pltpu.make_async_copy(
+                    wbuf.at[(k - 1 - j) % WSLOT],
+                    wmax_ref.at[:, pl.ds(pl.multiple_of(start, CI), CI)],
+                    w_sem.at[(k - 1 - j) % WSLOT],
+                ).wait()
 
-    @pl.when(ci_f >= 2)
-    def _drain_w2():
-        _wdrain(ci_f - 2)
+            return _
+
+        jax.lax.fori_loop(0, WSLOT, body, None)
 
     # scope mask: 1 iff any contributing in-scope instance (w > 0 for every
     # contributor, so the weighted sum is positive exactly then)
@@ -448,9 +529,12 @@ def tile_blend_forward(
         scratch_shapes=[
             pltpu.VMEM((24, L), jnp.float32),
             pltpu.VMEM((2, F_PAD, CI), jnp.float32),
-            pltpu.VMEM((2, 8, CI), jnp.float32),
+            pltpu.VMEM((2, F_PAD, CI), jnp.float32),
+            pltpu.VMEM((WSLOT, 8, CI), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((WSLOT,)),
         ],
     )
     # wmax is aliased to a zero input: under tile sharding each shard only
@@ -490,52 +574,27 @@ def _expand_rows_bwd(res, d_out):
     # emission index and the analytic [seg_start, seg_end) runs apply).
     # Measured ~2x cheaper than the row-gather-by-permutation alternative
     # (a [4M, 24] f32 row gather runs at ~3 GB/s on v5e; lax.sort moves
-    # ~2.3 ms per payload column — see profile_gather.py). The per-column
-    # slices below are free: d_out's physical layout is feature-major (it
-    # is the transposed cotangent of the [F, N] kernel output). Rows at
-    # invalid slots are exactly zero (the bwd kernel masks by contribution
-    # and d_feats is zero-aliased) and carry emit >= cap, sorting past
-    # every segment.
+    # ~2.3 ms per payload column — see profile_gather.py). Only the F_GRAD
+    # columns that can be nonzero (scope and pads never receive gradients
+    # from the backward kernel) ride the sort. Rows at invalid slots are
+    # exactly zero (the bwd kernel masks by contribution and d_feats is
+    # zero-aliased) and carry emit >= cap, sorting past every segment.
     from tpu_splat.kernels.segment_reduce import segment_sum_ranges
 
     valid, emit_key, rank_of, seg_start, seg_end = res
     F = d_out.shape[1]
-    cols = tuple(d_out[:, i] for i in range(F))
+    ncols = min(F, F_GRAD)
+    cols = tuple(d_out[:, i] for i in range(ncols))
     srt = jax.lax.sort((emit_key,) + cols, num_keys=1, is_stable=False)
-    rows_T = jnp.stack(srt[1:], axis=0)  # [F, cap_al] emission-grouped
-    d_g24 = segment_sum_ranges(rows_T, seg_start, seg_end).T[rank_of]
+    rows_T = jnp.stack(srt[1:], axis=0)  # [ncols, cap_al] emission-grouped
+    d_part = segment_sum_ranges(rows_T, seg_start, seg_end).T[rank_of]
+    d_g24 = jnp.concatenate(
+        [d_part, jnp.zeros((d_part.shape[0], F - ncols), d_part.dtype)], axis=1
+    )
     return d_g24, None, None, None, None, None, None
 
 
 _expand_rows.defvjp(_expand_rows_fwd, _expand_rows_bwd)
-
-
-def gauss_coefficients(hom, xy, opacity):
-    """Per-Gaussian pixel-linear coefficients for the MXU kernel.
-
-    hom [P,3,3] (rows Tu, Tv, Tw of the splat->pixel homography,
-    forward.cu compute_transmat), xy [P,2] screen center, opacity [P].
-    Returns [P, 16]: 9 p-coeffs, 3 depth-numerator coeffs, 2 low-pass
-    center coeffs, log-opacity, Tw.z (the constant terms of each linear
-    form are re-derived per tile in-kernel on the recentered basis).
-    Differentiable (plain jnp) — the kernel's coefficient-space gradients
-    chain back through this in the pack VJP."""
-    Tu, Tv, Tw = hom[:, 0, :], hom[:, 1, :], hom[:, 2, :]
-    A = jnp.cross(Tv, Tw)  # p = x*A + y*B + C
-    B = jnp.cross(Tw, Tu)
-    C = jnp.cross(Tu, Tv)
-    lo = jnp.log(jnp.maximum(opacity, 1e-12))
-    fi = FILTER_INV_SQUARE
-    cols = [
-        A[:, 0], B[:, 0], C[:, 0],
-        A[:, 1], B[:, 1], C[:, 1],
-        A[:, 2], B[:, 2], C[:, 2],
-        jnp.sum(A * Tw, axis=1), jnp.sum(B * Tw, axis=1), jnp.sum(C * Tw, axis=1),
-        fi * xy[:, 0], fi * xy[:, 1],
-        lo,
-        Tw[:, 2],
-    ]
-    return jnp.stack(cols, axis=1)
 
 
 def pack_features(
@@ -555,34 +614,37 @@ def pack_features(
 ) -> jnp.ndarray:
     """Gather per-Gaussian attrs into the kernel's [F_PAD, N_cap] layout.
 
-    ONE row-gather: attributes are converted to kernel coefficients per
-    Gaussian (P rows, cheap) and packed into a [P, 32] matrix, then gathered
-    by sorted instance id as contiguous 128-byte rows — orders of magnitude
-    friendlier to the TPU than per-feature element gathers. Validity masks
-    every row so pad slots (and the backward kernel's never-written d_feats
-    tail) cannot leak gradients.
+    ONE row-gather of RAW attributes (hom rows, low-pass center,
+    log-opacity, content); the kernel derives all pixel-space coefficients
+    itself, so the only differentiable pre-math here is the log. Validity
+    masks every row so pad slots (and the backward kernel's never-written
+    d_feats tail) cannot leak gradients.
 
     When the binning's emission grouping (emit_key/rank_of/seg_*) is given,
     the gather's transpose is a sort-regroup + analytic-run segment sum
     instead of XLA's scatter-add."""
     P_ = opacity.shape[0]
-    coeffs = gauss_coefficients(hom, xy, opacity)  # [P, 16]
-    g32 = jnp.concatenate(
+    fi = FILTER_INV_SQUARE
+    lo = jnp.log(jnp.maximum(opacity, 1e-12))
+    g24 = jnp.concatenate(
         [
-            coeffs,
+            hom.reshape(P_, 9),
+            fi * xy,
+            lo[:, None],
             color,
             normal_view,
             refl[:, None],
             scope_mask.astype(jnp.float32)[:, None],
+            jnp.zeros((P_, F_PAD - 20), jnp.float32),
         ],
         axis=1,
     )  # [P, F_PAD]
     if emit_key is not None:
         feats = _expand_rows(
-            g32, sorted_gid, valid, emit_key, rank_of, seg_start, seg_end
+            g24, sorted_gid, valid, emit_key, rank_of, seg_start, seg_end
         )
     else:
-        feats = jnp.where(valid[:, None], g32[sorted_gid], 0.0)  # [N_cap, F]
+        feats = jnp.where(valid[:, None], g24[sorted_gid], 0.0)  # [N_cap, F]
     return feats.T
 
 
@@ -593,282 +655,362 @@ def pack_features(
 # backward.cu renderCUDA:143-470). Per pixel, for contributing instance i:
 #   dL/dalpha_i = T_i * what_i - B_i / (1 - alpha_i)
 #   B_i = sum_{j>i} (what_j w_j - dist^ w_j m_j^2 T_j) + T^ * T_final
-#   what_i = c^.c_i + n^.n_i + d^ d_i + r^ r_i + m1^ m_i + m2^ m_i^2
+#   what_i = c^.c_i + n^.n_i + d^ d_i + r^ r_i [+ m1^ m_i + m2^ m_i^2
 #            + dist^ * (m_i^2 A_i + M2_i - 2 m_i M1_i
-#                       + m_i^2 W>_i - 2 m_i MW>_i)
+#                       + m_i^2 W>_i - 2 m_i MW>_i)]
 # with A_i = 1 - T_i, prefix M1_i/M2_i reconstructed from the saved totals
 # minus suffix sums, W>_i / MW>_i suffix sums, and T_i rebuilt by dividing
 # T out backward (log-space suffix matmul). Alpha gradients route to the
-# log-opacity/rho coefficients (d_s) and split between the 3D intersection
-# (s3) and low-pass (s2) branches exactly as the reference's
-# rho3d <= rho2d test; content gradients are [7, L] x [CI, L] matmuls
-# landing in feature-major rows. Contribution masks are rebuilt from the
-# saved per-pixel n_contrib rank (reference saves the same,
-# backward.cu:198-204).
+# exponent branches exactly as the reference's rho3d <= rho2d test, then
+# through the quadratic/linear coefficient projections (one [6, L] x
+# [6CI, L] MXU dot) and per-instance cross-product VJPs back to the raw
+# attribute rows. Bracketed terms exist only when full_grads=True.
+# Contribution masks are rebuilt from the saved per-pixel n_contrib rank
+# (reference saves the same, backward.cu:198-204).
 
 
-def _tile_blend_bwd_kernel(
-    starts_ref,
-    counts_ref,
-    orgx_ref,
-    orgy_ref,
-    feats_ref,  # [F_PAD, N_cap] ANY
-    fwd_px_ref,  # block (1, 16, L): forward outputs
-    ct_px_ref,  # block (1, 16, L): cotangents of forward outputs
-    dfeats_init_ref,  # [F_PAD, N_cap] ANY zeros (aliased to output)
-    dfeats_ref,  # [F_PAD, N_cap] ANY output (aliased, zero where unwritten)
-    state,  # VMEM (16, L) reverse carries
-    fbuf,  # VMEM (2, F_PAD, CI)
-    gbuf,  # VMEM (2, F_PAD, CI) grad slab
-    dma_sem,
-    g_sem,
-):
-    t = pl.program_id(0)
-    start = starts_ref[t]
-    count = counts_ref[t]
+@functools.lru_cache(maxsize=None)
+def _make_bwd_kernel(full_grads: bool):
+    def kernel(
+        starts_ref,
+        counts_ref,
+        used_ref,  # [T] i32: chunks with any contributor (from fwd n_contrib)
+        orgx_ref,
+        orgy_ref,
+        feats_ref,  # [F_PAD, N_cap] ANY
+        fwd_px_ref,  # block (1, 16, L): forward outputs
+        ct_px_ref,  # block (1, 16, L): cotangents of forward outputs
+        dfeats_init_ref,  # [F_PAD, N_cap] ANY zeros (aliased to output)
+        dfeats_ref,  # [F_PAD, N_cap] ANY output (aliased)
+        state,  # VMEM (8, L) reverse carries
+        hbuf,  # VMEM (2, F_PAD, CI): per-tile head (last used chunk)
+        fbuf,  # VMEM (2, F_PAD, CI)
+        gbuf,  # VMEM (WSLOT, F_PAD, CI) grad slab ring
+        gcnt,  # SMEM (1,) i32
+        h_sem,
+        f_sem,
+        g_sem,
+    ):
+        t = pl.program_id(0)
+        n_tiles = pl.num_programs(0)
+        start = starts_ref[t]
+        count = counts_ref[t]
+        used_chunks = used_ref[t]
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    cx = orgx_ref[t] + 7
-    cy = orgy_ref[t] + 7
-    pixx = (lane % TILE - 7).astype(jnp.float32)
-    pixy = (lane // TILE - 7).astype(jnp.float32)
-    cxf = jnp.float32(cx)
-    cyf = jnp.float32(cy)
-    ones1 = jnp.ones((1, L), jnp.float32)
-    basis3 = jnp.concatenate([pixx, pixy, ones1], axis=0)
-    qv = -0.5 * FILTER_INV_SQUARE * (pixx * pixx + pixy * pixy)
-    utri = _utri_incl()
+        @pl.when(t == 0)
+        def _init_ring():
+            gcnt[0] = 0
 
-    def fw(i):
-        return fwd_px_ref[0, i, :].reshape(1, L)
-
-    def ct(i):
-        return ct_px_ref[0, i, :].reshape(1, L)
-
-    T_final = fw(O_T)
-    ncon = fw(O_NCON)
-    M1tot = fw(O_M1)
-    M2tot = fw(O_M2)
-    med_rank_px = fw(O_MEDRANK)
-
-    ct_T = ct(O_T)
-    ct_d = ct(O_DEPTH)
-    ct_dist = ct(O_DIST)
-    ct_med = ct(O_MED)
-    ct_m1 = ct(O_M1)
-    ct_m2 = ct(O_M2)
-    # content cotangent rows (order matches F_CON..F_CON+6)
-    ct7 = jnp.concatenate(
-        [
-            ct(O_COL), ct(O_COL + 1), ct(O_COL + 2),
-            ct(O_NRM), ct(O_NRM + 1), ct(O_NRM + 2),
-            ct(O_REFL),
-        ],
-        axis=0,
-    )  # [7, L]
-
-    # reverse carries rows: 0 T_rev, 1 B, 2 Wsuf, 3 MWsuf, 4 M2Wsuf
-    state[:] = jnp.zeros((16, L), jnp.float32)
-    state[0, :] = T_final.reshape(L)
-    state[1, :] = (ct_T * T_final).reshape(L)
-
-    # last chunk index containing any contributor
-    max_ncon = jnp.max(fwd_px_ref[0, O_NCON, :])
-    n_chunks = pl.cdiv(count, CI)
-    used_chunks = jnp.minimum(
-        pl.cdiv(max_ncon.astype(jnp.int32), CI), n_chunks
-    )
-
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (CI, 1), 0)
-
-    def feat_dma(ci_rev, slot):
-        ci = used_chunks - 1 - ci_rev
-        base = pl.multiple_of(start + ci * CI, CI)
-        return pltpu.make_async_copy(
-            feats_ref.at[:, pl.ds(base, CI)], fbuf.at[slot], dma_sem.at[slot]
-        )
-
-    @pl.when(used_chunks > 0)
-    def _prefetch_first():
-        feat_dma(0, 0).start()
-
-    def grad_copy(ci_rev, base):
-        base = pl.multiple_of(base, CI)
-        slot = ci_rev % 2
-        return pltpu.make_async_copy(
-            gbuf.at[slot], dfeats_ref.at[:, pl.ds(base, CI)], g_sem.at[slot]
-        )
-
-    def chunk_body(ci_rev, _):
-        ci = used_chunks - 1 - ci_rev
-        slot = ci_rev % 2
-        base = pl.multiple_of(start + ci * CI, CI)
-        feat_dma(ci_rev, slot).wait()
-
-        @pl.when(ci_rev + 1 < used_chunks)
-        def _prefetch_next():
-            feat_dma(ci_rev + 1, (ci_rev + 1) % 2).start()
-
-        # retire the grad write-back issued 2 chunks ago on this slot
-        # before the tail of this body refills gbuf[slot]
-        @pl.when(ci_rev >= 2)
-        def _wait_gprev():
-            grad_copy(ci_rev, base).wait()
-
-        fb = fbuf[slot]
-        g = _chunk_geometry(fb, pixx, pixy, qv, cxf, cyf)
-        alpha, depth = g["alpha"], g["depth"]
-        unstable, ivp = g["unstable"], g["ivp"]
-        p0, p1, p2, dn = g["p0"], g["p1"], g["p2"], g["dn"]
-        r3h, s2, s3, s = g["r3h"], g["s2"], g["s3"], g["s"]
-        # [CI, 1] slab columns -> [1, CI] rows for the gbuf writes below
-        ax2p = jnp.transpose(g["ax2p"])
-        ay2p = jnp.transpose(g["ay2p"])
-
-        idx = base + row_i
-        rank = (idx - start + 1).astype(jnp.float32)
-        accept_local = (
-            (depth >= NEAR_N) & (alpha >= ALPHA_MIN) & (idx < start + count)
-        )
-        contrib = accept_local & (rank <= ncon)
-
-        # reconstruct T_i (transmittance before instance i)
-        lf = jnp.where(contrib, -jnp.log1p(-alpha), 0.0)
-        suf_lf = _suffix_incl(lf, utri)  # inclusive suffix sum
-        T_rev = state[0, :].reshape(1, L)
-        T_i = T_rev * jnp.exp(suf_lf)
-        w = jnp.where(contrib, alpha * T_i, 0.0)
-
-        m, safe_depth = _m_of_depth(depth)
-        mw = m * w
-        m2w = m * mw
-
-        # suffix sums (within chunk) + carries from later chunks
-        Wsuf = state[2, :].reshape(1, L)
-        MWsuf = state[3, :].reshape(1, L)
-        M2Wsuf = state[4, :].reshape(1, L)
-        suf = _suffix_incl(jnp.concatenate([w, mw, m2w], axis=1), utri)  # [CI, 3L]
-        W_gt = Wsuf + (suf[:, :L] - w)  # sum_{j>i}
-        MW_gt = MWsuf + (suf[:, L:2 * L] - mw)
-        M2W_gt = M2Wsuf + (suf[:, 2 * L:] - m2w)
-        M1_i = M1tot - MW_gt - mw  # prefix sum_{j<i} m w
-        M2_i = M2tot - M2W_gt - m2w
-        A_i = 1.0 - T_i
-
-        # what = content terms + depth/distortion terms; content uses the
-        # already-transposed slab ([CI,1] x [1,L] FMAs, no small-K dot)
-        ft = g["ft"]
-        what_content = ft[:, F_CON:F_CON + 1] * ct7[0:1]
-        for r in range(1, 7):
-            what_content += ft[:, F_CON + r:F_CON + r + 1] * ct7[r:r + 1]
-        phi = (
-            m * m * A_i
-            + M2_i
-            - 2.0 * m * M1_i
-            + m * m * W_gt
-            - 2.0 * m * MW_gt
-        )
-        what = (
-            what_content
-            + ct_d * depth
-            + ct_m1 * m
-            + ct_m2 * m * m
-            + ct_dist * phi
-        )
-
-        # depth gradient: direct + via m + median routing
-        d_m_tot = (
-            ct_m1 * w
-            + 2.0 * m * ct_m2 * w
-            + ct_dist * 2.0 * w * (m * A_i - M1_i + m * W_gt - MW_gt)
-        )
-        dm_dd = FAR_N / (FAR_N - NEAR_N) * NEAR_N / (safe_depth * safe_depth)
-        dm_dd = jnp.where(depth >= NEAR_N, dm_dd, 0.0)
-        is_med = contrib & (rank == med_rank_px)
-        d_depth = (
-            w * ct_d
-            + d_m_tot * dm_dd
-            + jnp.where(is_med, ct_med, 0.0)
-        )
-
-        # alpha gradient
-        bterm = what * w - ct_dist * w * m * m * T_i
-        B_i = state[1, :].reshape(1, L) + (_suffix_incl(bterm, utri) - bterm)
-        d_alpha = jnp.where(
-            contrib, T_i * what - B_i / (1.0 - alpha), 0.0
-        )
-
-        # alpha = exp(min(log a_max, s)); route d_s to the s3/s2 branch
-        gate = (s < LOG_AMAX).astype(jnp.float32)
-        d_s = alpha * gate * d_alpha
-        use3 = (s3 >= s2) & ~unstable  # reference rho3d <= rho2d branch
-        d_s3 = jnp.where(use3, d_s, 0.0)
-        d_s2 = jnp.where(use3, 0.0, d_s)
-
-        # s3 = lo - 0.5 (p0^2 + p1^2) ivp^2
-        d_p0 = -d_s3 * p0 * (ivp * ivp)
-        d_p1 = -d_s3 * p1 * (ivp * ivp)
-        d_p2 = d_s3 * 2.0 * r3h * ivp
-
-        # depth = dn * ivp (stable) | tw2 (unstable)
-        stable_f = (~unstable).astype(jnp.float32)
-        d_dn = d_depth * ivp * stable_f
-        d_p2 += -dn * (ivp * ivp) * d_depth * stable_f
-        d_tw2_mat = jnp.where(unstable, d_depth, 0.0)
-
-        # coefficient gradients: per-form [3, L] x [CI, L] matmuls on the
-        # recentered basis (K = L, one MXU pass each; no concat copies),
-        # then the per-instance chains back to the stored (origin-based)
-        # coefficients: c' = c + cx a + cy b and the low-pass constant
-        # c2p = -(ax2p^2 + ay2p^2)/(2 FI) + lo.
-        def chain_rc(blk):  # [3, CI] recentered grads -> origin grads
-            d_c = blk[2:3]
-            return jnp.concatenate(
-                [blk[0:1] + cxf * d_c, blk[1:2] + cyf * d_c, d_c], axis=0
+        def head_dma(tile):
+            # first-processed chunk of `tile` = its LAST used chunk
+            base = pl.multiple_of(
+                starts_ref[tile] + (used_ref[tile] - 1) * CI, CI
+            )
+            return pltpu.make_async_copy(
+                feats_ref.at[:, pl.ds(base, CI)], hbuf.at[tile % 2],
+                h_sem.at[tile % 2],
             )
 
-        fi = FILTER_INV_SQUARE
-        d_cat = jnp.concatenate([d_p0, d_p1, d_p2, d_dn, d_s2], axis=0)
-        d_coef = _dot_px(basis3, d_cat)  # [3, 5 CI]
-        blk2 = d_coef[:, 4 * CI:5 * CI]
-        d_c2p = blk2[2:3]
-        small = _dot_px(ones1, jnp.concatenate([d_s3, d_tw2_mat], axis=0))
+        @pl.when(t == 0)
+        def _prime_own_head():
+            @pl.when(used_chunks > 0)
+            def _():
+                head_dma(0).start()
 
-        gbuf[slot] = jnp.zeros((F_PAD, CI), jnp.float32)
-        gbuf[slot, F_CP0:F_CP0 + 3, :] = chain_rc(d_coef[:, 0:CI])
-        gbuf[slot, F_CP1:F_CP1 + 3, :] = chain_rc(d_coef[:, CI:2 * CI])
-        gbuf[slot, F_CP2:F_CP2 + 3, :] = chain_rc(d_coef[:, 2 * CI:3 * CI])
-        gbuf[slot, F_CDN:F_CDN + 3, :] = chain_rc(d_coef[:, 3 * CI:4 * CI])
-        gbuf[slot, F_AX2, :] = (blk2[0:1] - d_c2p * ax2p * (1.0 / fi))[0]
-        gbuf[slot, F_AY2, :] = (blk2[1:2] - d_c2p * ay2p * (1.0 / fi))[0]
-        gbuf[slot, F_LO, :] = small[0, 0:CI] + d_c2p[0]
-        gbuf[slot, F_TW2, :] = small[0, CI:2 * CI]
-        gbuf[slot, F_CON:F_CON + 7, :] = _dot_px(ct7, w)
-        grad_copy(ci_rev, base).start()
+        @pl.when(t + 1 < n_tiles)
+        def _prefetch_next_head():
+            @pl.when(used_ref[t + 1] > 0)
+            def _():
+                head_dma(t + 1).start()
 
-        # update reverse carries for the next (earlier) chunk
-        state[0, :] = (T_rev * jnp.exp(jnp.sum(lf, axis=0, keepdims=True))).reshape(L)
-        state[1, :] = (
-            state[1, :].reshape(1, L)
-            + jnp.sum(bterm, axis=0, keepdims=True)
-        ).reshape(L)
-        state[2, :] = (Wsuf + jnp.sum(w, axis=0, keepdims=True)).reshape(L)
-        state[3, :] = (MWsuf + jnp.sum(mw, axis=0, keepdims=True)).reshape(L)
-        state[4, :] = (M2Wsuf + jnp.sum(m2w, axis=0, keepdims=True)).reshape(L)
-        return _
+        basis3, r2, cxf, cyf = _basis(orgx_ref[t], orgy_ref[t])
+        utri = _utri_incl()
 
-    jax.lax.fori_loop(0, used_chunks, chunk_body, None)
-    # (non-contributing chunks need no zero-fill: d_feats is aliased to zeros)
+        def fw(i):
+            return fwd_px_ref[0, i, :].reshape(1, L)
 
-    # retire the last (up to 2) outstanding grad write-backs; waits only
-    # need sem + byte-count, so any CI-slab descriptor on the slot works
-    @pl.when(used_chunks >= 1)
-    def _drain_g1():
-        grad_copy(used_chunks - 1, start).wait()
+        def ct(i):
+            return ct_px_ref[0, i, :].reshape(1, L)
 
-    @pl.when(used_chunks >= 2)
-    def _drain_g2():
-        grad_copy(used_chunks - 2, start).wait()
+        T_final = fw(O_T)
+        ncon = fw(O_NCON)
+        ct_T = ct(O_T)
+        ct_d = ct(O_DEPTH)
+        # content cotangent rows (order matches F_CON..F_CON+6)
+        ct7 = jnp.concatenate(
+            [
+                ct(O_COL), ct(O_COL + 1), ct(O_COL + 2),
+                ct(O_NRM), ct(O_NRM + 1), ct(O_NRM + 2),
+                ct(O_REFL),
+            ],
+            axis=0,
+        )  # [7, L]
+        if full_grads:
+            M1tot = fw(O_M1)
+            M2tot = fw(O_M2)
+            med_rank_px = fw(O_MEDRANK)
+            ct_dist = ct(O_DIST)
+            ct_med = ct(O_MED)
+            ct_m1 = ct(O_M1)
+            ct_m2 = ct(O_M2)
+
+        # reverse carries rows: 0 T_rev, 1 B, [full: 2 Wsuf, 3 MWsuf, 4 M2Wsuf]
+        state[:] = jnp.zeros((8, L), jnp.float32)
+        state[0, :] = T_final.reshape(L)
+        state[1, :] = (ct_T * T_final).reshape(L)
+
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (CI, 1), 0)
+
+        def feat_dma(ci_rev):
+            ci = used_chunks - 1 - ci_rev
+            base = pl.multiple_of(start + ci * CI, CI)
+            return pltpu.make_async_copy(
+                feats_ref.at[:, pl.ds(base, CI)], fbuf.at[ci_rev % 2],
+                f_sem.at[ci_rev % 2],
+            )
+
+        @pl.when(used_chunks > 1)
+        def _prefetch_second():
+            feat_dma(1).start()
+
+        def chunk_body(ci_rev, _):
+            ci = used_chunks - 1 - ci_rev
+            base = pl.multiple_of(start + ci * CI, CI)
+
+            @pl.when(ci_rev == 0)
+            def _wait_head():
+                pltpu.make_async_copy(
+                    feats_ref.at[:, pl.ds(base, CI)], hbuf.at[t % 2],
+                    h_sem.at[t % 2],
+                ).wait()
+
+            @pl.when(ci_rev > 0)
+            def _wait_stream():
+                feat_dma(ci_rev).wait()
+
+            fb = jnp.where(ci_rev == 0, hbuf[t % 2], fbuf[ci_rev % 2])
+
+            @pl.when((ci_rev + 1 < used_chunks) & (ci_rev > 0))
+            def _prefetch_next():
+                feat_dma(ci_rev + 1).start()
+
+            gr = _geom_rows(fb, cxf, cyf)
+            g = _alpha_depth(fb, gr, basis3, r2)
+            alpha, depth = g["alpha"], g["depth"]
+            unstable, ivp, ivp2 = g["unstable"], g["ivp"], g["ivp2"]
+            p0, p1, dn, r3h = g["p0"], g["p1"], g["dn"], g["r3h"]
+            s2, s3, s = g["s2"], g["s3"], g["s"]
+
+            idx = base + row_i
+            rank = (idx - start + 1).astype(jnp.float32)
+            accept_local = (
+                (depth >= NEAR_N) & (alpha >= ALPHA_MIN) & (idx < start + count)
+            )
+            contrib = accept_local & (rank <= ncon)
+
+            # reconstruct T_i (transmittance before instance i)
+            lf = jnp.where(contrib, -jnp.log1p(-alpha), 0.0)
+            suf_lf = _suffix_incl(lf, utri, precision=_HP)
+            T_rev = state[0, :].reshape(1, L)
+            T_i = T_rev * jnp.exp(suf_lf)
+            w = jnp.where(contrib, alpha * T_i, 0.0)
+
+            # what = content terms + depth (+ distortion when full)
+            what_content = _dot_k(fb[F_CON : F_CON + 7], ct7, precision=_HI)
+            what = what_content + ct_d * depth
+            d_depth = w * ct_d
+
+            if full_grads:
+                m, safe_depth = _m_of_depth(depth)
+                mw = m * w
+                m2w = m * mw
+                Wsuf = state[2, :].reshape(1, L)
+                MWsuf = state[3, :].reshape(1, L)
+                M2Wsuf = state[4, :].reshape(1, L)
+                suf = _suffix_incl(
+                    jnp.concatenate([w, mw, m2w], axis=1), utri
+                )  # [CI, 3L]
+                W_gt = Wsuf + (suf[:, :L] - w)  # sum_{j>i}
+                MW_gt = MWsuf + (suf[:, L : 2 * L] - mw)
+                M2W_gt = M2Wsuf + (suf[:, 2 * L :] - m2w)
+                M1_i = M1tot - MW_gt - mw  # prefix sum_{j<i} m w
+                M2_i = M2tot - M2W_gt - m2w
+                A_i = 1.0 - T_i
+                phi = (
+                    m * m * A_i
+                    + M2_i
+                    - 2.0 * m * M1_i
+                    + m * m * W_gt
+                    - 2.0 * m * MW_gt
+                )
+                what = what + ct_m1 * m + ct_m2 * m * m + ct_dist * phi
+                d_m_tot = (
+                    ct_m1 * w
+                    + 2.0 * m * ct_m2 * w
+                    + ct_dist * 2.0 * w * (m * A_i - M1_i + m * W_gt - MW_gt)
+                )
+                dm_dd = M_C2 / (safe_depth * safe_depth)
+                dm_dd = jnp.where(depth >= NEAR_N, dm_dd, 0.0)
+                is_med = contrib & (rank == med_rank_px)
+                d_depth = (
+                    d_depth + d_m_tot * dm_dd + jnp.where(is_med, ct_med, 0.0)
+                )
+                bterm = what * w - ct_dist * w * m * m * T_i
+            else:
+                bterm = what * w
+
+            # alpha gradient
+            B_i = state[1, :].reshape(1, L) + (_suffix_incl(bterm, utri) - bterm)
+            d_alpha = jnp.where(
+                contrib, T_i * what - B_i / (1.0 - alpha), 0.0
+            )
+
+            # alpha = exp(min(log a_max, s)); route d_s to the s3/s2 branch
+            gate = (s < LOG_AMAX).astype(jnp.float32)
+            d_s = alpha * gate * d_alpha
+            use3 = (s3 >= s2) & ~unstable  # reference rho3d <= rho2d branch
+            d_s3 = jnp.where(use3, d_s, 0.0)
+            d_s2 = jnp.where(use3, 0.0, d_s)
+
+            # s3 = lo - 0.5 (p0^2+p1^2) ivp^2 ; depth = dn ivp (stable) | tw2
+            stable_f = (~unstable).astype(jnp.float32)
+            d_p0m = -d_s3 * p0 * ivp2
+            d_p1m = -d_s3 * p1 * ivp2
+            d_p2m = d_s3 * 2.0 * r3h * ivp - dn * ivp2 * d_depth * stable_f
+            d_dnm = d_depth * ivp * stable_f
+            d_tw2_mat = jnp.where(unstable, d_depth, 0.0)
+
+            # project the field gradients onto the pixel basis: ONE
+            # [3, L] x [7CI, L] MXU dot -> per-instance coefficient grads
+            RHS = jnp.concatenate(
+                [d_p0m, d_p1m, d_p2m, d_dnm, d_s2, d_s3, d_tw2_mat], axis=0
+            )  # [7CI, L]
+            PJ = _dot_px(basis3, RHS)  # [3, 7CI]
+
+            def blk(j):
+                return PJ[:, j * CI : (j + 1) * CI]  # [3, CI] rows x, y, 1
+
+            pp0, pp1, pp2, pdn, ps2, ps3, ptw2 = (blk(j) for j in range(7))
+            row = lambda M, r: M[r : r + 1, :]  # [1, CI]
+
+            gr_ = gr
+            A, Bv, C = gr_["A"], gr_["B"], gr_["C"]
+            # p_k = A_k x + B_k y + cp_k : x/y rows are the A/B grads, the
+            # constant row is the recentered-constant grad
+            d_A0, d_B0, d_cp0 = row(pp0, 0), row(pp0, 1), row(pp0, 2)
+            d_A1, d_B1, d_cp1 = row(pp1, 0), row(pp1, 1), row(pp1, 2)
+            d_A2, d_B2, d_cp2 = row(pp2, 0), row(pp2, 1), row(pp2, 2)
+            d_da, d_db, d_dcc = row(pdn, 0), row(pdn, 1), row(pdn, 2)
+            # s2: sx x + sy y + s0 - fi/2 r2 ; s0 = lo - (sx^2+sy^2)/(2 fi)
+            fi = FILTER_INV_SQUARE
+            d_s0 = row(ps2, 2)
+            d_sx = row(ps2, 0) - gr_["sx"] * (1.0 / fi) * d_s0
+            d_sy = row(ps2, 1) - gr_["sy"] * (1.0 / fi) * d_s0
+            d_lo = row(ps3, 2) + d_s0  # lo enters s3 directly and s0 via +lo
+            d_tw2 = row(ptw2, 2)
+
+            # recentered constants: cp = C + cx A + cy B
+            d_C0, d_A0b, d_B0b = d_cp0, cxf * d_cp0, cyf * d_cp0
+            d_C1, d_A1b, d_B1b = d_cp1, cxf * d_cp1, cyf * d_cp1
+            d_C2, d_A2b, d_B2b = d_cp2, cxf * d_cp2, cyf * d_cp2
+            # dcc = dc + cx da + cy db
+            d_da = d_da + cxf * d_dcc
+            d_db = d_db + cyf * d_dcc
+            d_dc = d_dcc
+            # dn coefficient dots: da = A . Tw etc
+            Tw = gr_["Tw"]
+            d_A = (
+                d_A0 + d_A0b + d_da * Tw[0],
+                d_A1 + d_A1b + d_da * Tw[1],
+                d_A2 + d_A2b + d_da * Tw[2],
+            )
+            d_B = (
+                d_B0 + d_B0b + d_db * Tw[0],
+                d_B1 + d_B1b + d_db * Tw[1],
+                d_B2 + d_B2b + d_db * Tw[2],
+            )
+            d_C = (
+                d_C0 + d_dc * Tw[0],
+                d_C1 + d_dc * Tw[1],
+                d_C2 + d_dc * Tw[2],
+            )
+            d_Tw_dn = (
+                d_da * A[0] + d_db * Bv[0] + d_dc * C[0],
+                d_da * A[1] + d_db * Bv[1] + d_dc * C[1],
+                d_da * A[2] + d_db * Bv[2] + d_dc * C[2] + d_tw2,
+            )
+            # cross-product VJPs: A = Tv x Tw, B = Tw x Tu, C = Tu x Tv
+            Tu, Tv = gr_["Tu"], gr_["Tv"]
+            d_Tv_a = _cross_rows(Tw, d_A)
+            d_Tw_a = _cross_rows(d_A, Tv)
+            d_Tw_b = _cross_rows(Tu, d_B)
+            d_Tu_b = _cross_rows(d_B, Tw)
+            d_Tu_c = _cross_rows(Tv, d_C)
+            d_Tv_c = _cross_rows(d_C, Tu)
+
+            k = gcnt[0]
+            slot = k % WSLOT
+
+            def grad_copy(sl, b):
+                b = pl.multiple_of(b, CI)
+                return pltpu.make_async_copy(
+                    gbuf.at[sl], dfeats_ref.at[:, pl.ds(b, CI)], g_sem.at[sl]
+                )
+
+            @pl.when(k >= WSLOT)
+            def _wait_gprev():
+                grad_copy(slot, base).wait()  # retires the k-WSLOT copy
+
+            gbuf[slot] = jnp.zeros((F_PAD, CI), jnp.float32)
+            for c in range(3):
+                gbuf[slot, F_TU + c, :] = (d_Tu_b[c] + d_Tu_c[c])[0]
+                gbuf[slot, F_TV + c, :] = (d_Tv_a[c] + d_Tv_c[c])[0]
+                gbuf[slot, F_TW + c, :] = (d_Tw_a[c] + d_Tw_b[c] + d_Tw_dn[c])[0]
+            gbuf[slot, F_AX2, :] = d_sx[0]
+            gbuf[slot, F_AY2, :] = d_sy[0]
+            gbuf[slot, F_LO, :] = d_lo[0]
+            gbuf[slot, F_CON : F_CON + 7, :] = _dot_px(ct7, w, precision=_HI)
+            grad_copy(slot, base).start()
+            gcnt[0] = k + 1
+
+            # update reverse carries for the next (earlier) chunk
+            csum = _dot_mm(
+                jnp.ones((1, CI), jnp.float32),
+                jnp.concatenate([lf, bterm], axis=1),
+                precision=_HP,  # lf feeds exp(T_rev) — see scan note
+            )  # [1, 2L]
+            state[0, :] = (T_rev * jnp.exp(csum[:, 0:L])).reshape(L)
+            state[1, :] = (
+                state[1, :].reshape(1, L) + csum[:, L : 2 * L]
+            ).reshape(L)
+            if full_grads:
+                state[2, :] = (Wsuf + jnp.sum(w, axis=0, keepdims=True)).reshape(L)
+                state[3, :] = (MWsuf + jnp.sum(mw, axis=0, keepdims=True)).reshape(L)
+                state[4, :] = (M2Wsuf + jnp.sum(m2w, axis=0, keepdims=True)).reshape(L)
+            return _
+
+        jax.lax.fori_loop(0, used_chunks, chunk_body, None)
+        # (non-contributing chunks need no zero-fill: d_feats is zero-aliased)
+
+        # final grid step: drain the last <= WSLOT grad writebacks
+        @pl.when(t == n_tiles - 1)
+        def _drain_gring():
+            k = gcnt[0]
+
+            def body(j, _):
+                @pl.when(j < jnp.minimum(k, WSLOT))
+                def _():
+                    pltpu.make_async_copy(
+                        gbuf.at[(k - 1 - j) % WSLOT],
+                        dfeats_ref.at[:, pl.ds(pl.multiple_of(start, CI), CI)],
+                        g_sem.at[(k - 1 - j) % WSLOT],
+                    ).wait()
+
+                return _
+
+            jax.lax.fori_loop(0, WSLOT, body, None)
+
+    return kernel
 
 
 def tile_blend_backward(
@@ -879,6 +1021,7 @@ def tile_blend_backward(
     org_y: jnp.ndarray,
     fwd_px: jnp.ndarray,  # [T, 16, L]
     ct_px: jnp.ndarray,  # [T, 16, L]
+    full_grads: bool = True,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """-> d_feats [F_PAD, N_cap]."""
@@ -886,8 +1029,17 @@ def tile_blend_backward(
         interpret = jax.default_backend() == "cpu"
     T = starts.shape[0]
     n_cap = feats.shape[1]
+    # chunks per tile that contain any contributor, from the forward's
+    # n_contrib map (reference reuses the same saved rank,
+    # backward.cu:198-204); computed here so the kernel can software-
+    # pipeline the NEXT tile's first (= deepest) chunk DMA
+    max_ncon = jnp.max(fwd_px[:, O_NCON, :], axis=1)
+    n_chunks = (counts + CI - 1) // CI
+    used = jnp.minimum(
+        (max_ncon.astype(jnp.int32) + CI - 1) // CI, n_chunks
+    ).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -897,22 +1049,25 @@ def tile_blend_backward(
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((16, L), jnp.float32),
+            pltpu.VMEM((8, L), jnp.float32),
             pltpu.VMEM((2, F_PAD, CI), jnp.float32),
             pltpu.VMEM((2, F_PAD, CI), jnp.float32),
+            pltpu.VMEM((WSLOT, F_PAD, CI), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((WSLOT,)),
         ],
     )
     dfeats_init = jnp.zeros((F_PAD, n_cap), jnp.float32)
     (d_feats,) = pl.pallas_call(
-        _tile_blend_bwd_kernel,
+        _make_bwd_kernel(full_grads),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((F_PAD, n_cap), jnp.float32)],
-        input_output_aliases={7: 0},
+        input_output_aliases={8: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, counts, org_x, org_y, feats, fwd_px, ct_px, dfeats_init)
+    )(starts, counts, used, org_x, org_y, feats, fwd_px, ct_px, dfeats_init)
     return d_feats
 
 
@@ -920,31 +1075,39 @@ def tile_blend_backward(
 # Differentiable wrapper: Pallas forward + Pallas backward via custom_vjp.
 
 
-@jax.custom_vjp
-def blend_kernel(feats, starts, counts, org_x, org_y):
-    out_px, wmax = tile_blend_forward(feats, starts, counts, org_x, org_y)
-    return out_px, jax.lax.stop_gradient(wmax)
+@functools.lru_cache(maxsize=None)
+def _make_blend_kernel(full_grads: bool):
+    @jax.custom_vjp
+    def blend_kernel(feats, starts, counts, org_x, org_y):
+        out_px, wmax = tile_blend_forward(feats, starts, counts, org_x, org_y)
+        return out_px, jax.lax.stop_gradient(wmax)
+
+    def fwd(feats, starts, counts, org_x, org_y):
+        out_px, wmax = tile_blend_forward(feats, starts, counts, org_x, org_y)
+        return (out_px, jax.lax.stop_gradient(wmax)), (
+            feats,
+            starts,
+            counts,
+            org_x,
+            org_y,
+            out_px,
+        )
+
+    def bwd(res, cts):
+        feats, starts, counts, org_x, org_y, out_px = res
+        d_out_px, _d_wmax = cts
+        d_feats = tile_blend_backward(
+            feats, starts, counts, org_x, org_y, out_px, d_out_px,
+            full_grads=full_grads,
+        )
+        return d_feats, None, None, None, None
+
+    blend_kernel.defvjp(fwd, bwd)
+    return blend_kernel
 
 
-def _blend_kernel_fwd(feats, starts, counts, org_x, org_y):
-    out_px, wmax = tile_blend_forward(feats, starts, counts, org_x, org_y)
-    return (out_px, jax.lax.stop_gradient(wmax)), (
-        feats,
-        starts,
-        counts,
-        org_x,
-        org_y,
-        out_px,
-    )
-
-
-def _blend_kernel_bwd(res, cts):
-    feats, starts, counts, org_x, org_y, out_px = res
-    d_out_px, _d_wmax = cts
-    d_feats = tile_blend_backward(
-        feats, starts, counts, org_x, org_y, out_px, d_out_px
-    )
-    return d_feats, None, None, None, None
-
-
-blend_kernel.defvjp(_blend_kernel_fwd, _blend_kernel_bwd)
+def blend_kernel(feats, starts, counts, org_x, org_y, full_grads: bool = True):
+    """Differentiable tile sweep. full_grads=False is the train-shaped
+    backward: statically drops the distortion/M1/M2/median cotangent chains
+    (provably zero for the reference training loss with depth_ratio=0)."""
+    return _make_blend_kernel(full_grads)(feats, starts, counts, org_x, org_y)

@@ -143,6 +143,7 @@ def rasterize(
             W,
             mesh=mesh,
             axis=mesh_axis,
+            full_grads=cfg.grad_channels != "train",
         )
         return RasterOutput(
             color=out.color,

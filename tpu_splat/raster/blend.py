@@ -390,6 +390,7 @@ def blend_pallas(
     interpret: bool = False,
     mesh=None,
     axis: str = "tiles",
+    full_grads: bool = True,
 ) -> BlendOutput:
     """Forward blend via the Pallas tile kernel (tpu_splat.kernels.tile_blend).
 
@@ -422,7 +423,8 @@ def blend_pallas(
     )
     if mesh is None:
         out_px, wmax = tb.blend_kernel(
-            feats, binned.aligned_starts, counts_full, org[:, 0], org[:, 1]
+            feats, binned.aligned_starts, counts_full, org[:, 0], org[:, 1],
+            full_grads=full_grads,
         )
     else:
         # tile-axis sharding: each chip runs the kernel pair on its tile rows
@@ -430,7 +432,8 @@ def blend_pallas(
         # psums d_feats (kernels zero-alias unwritten slots so per-shard
         # partials combine exactly)
         def local(f, st, cn, ox, oy):
-            out_px_l, wmax_l = tb.blend_kernel(f, st, cn, ox, oy)
+            out_px_l, wmax_l = tb.blend_kernel(f, st, cn, ox, oy,
+                                               full_grads=full_grads)
             return out_px_l, wmax_l[None]
 
         out_px, wmax_parts = jax.shard_map(

@@ -39,10 +39,23 @@ class RasterConfig:
     # like the reference training on its CUDA rasterizer) and to the XLA
     # scan on CPU (fast enough for tests; Pallas there is interpret-mode).
     backend: str = "auto"  # "auto" | "xla" | "pallas"
+    # "train" statically drops the distortion/M1/M2/median cotangent chains
+    # from the Pallas backward — provably zero for the reference training
+    # loss (train.py:168-196 uses no distortion term; depth_ratio=0 default
+    # keeps surf_depth off the median channel). "full" differentiates every
+    # forward output (the XLA oracle always does).
+    grad_channels: str = "full"  # "full" | "train"
 
     def __post_init__(self):
         assert self.tile_depth % self.chunk == 0
         assert self.backend in ("auto", "xla", "pallas"), self.backend
+        assert self.grad_channels in ("full", "train"), self.grad_channels
+        if self.grad_channels == "train":
+            # median-depth cotangents are dropped; surf_depth must not mix
+            # the median channel in
+            assert self.depth_ratio == 0.0, (
+                "grad_channels='train' requires depth_ratio == 0"
+            )
 
     def use_pallas(self) -> bool:
         if self.backend == "auto":
