@@ -231,3 +231,50 @@ def test_train_step_with_isp():
     ts, _ = step(ts, cam, gt, jnp.zeros(3), frame_idx=0, frozen=True)
     assert float(jnp.abs(ts.gaussians.xyz - g0).max()) == 0.0
     assert float(jnp.abs(ts.isp.gain - i0).max()) > 0.0
+
+
+def test_capacity_growth():
+    """grow_capacity pads state/opt/stats; a grown state must keep rendering
+    and training identically (dead pad rows are inert), and check_growth
+    must fire on near-full diagnostics."""
+    from tpu_splat.train.grow import grow_capacity, check_growth
+
+    state, cam = _setup(n=60, capacity=80)
+    opt_cfg = OptimizationParams(init_until_iter=0)
+    cfg = CFG
+    ts = TrainState.create(state, opt_cfg)
+    step = jax.jit(make_train_step(opt_cfg, cfg, spatial_lr_scale=1.0))
+    gt = jnp.zeros((cam.height, cam.width, 3))
+    bg = jnp.zeros(3)
+    ts1, aux1 = step(ts, cam, gt, bg)
+
+    ts_big = grow_capacity(ts, 160)
+    assert ts_big.gaussians.capacity == 160
+    assert int(ts_big.gaussians.num_alive) == int(ts.gaussians.num_alive)
+    assert ts_big.opt.mu["xyz"].shape[0] == 160
+    assert ts_big.stats.denom.shape[0] == 160
+    ts2, aux2 = step(ts_big, cam, gt, bg)
+    np.testing.assert_allclose(float(aux2.loss), float(aux1.loss), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ts2.gaussians.xyz[:80]), np.asarray(ts1.gaussians.xyz),
+        atol=1e-6,
+    )
+
+    dec = check_growth(
+        ts, cfg, n_alive=79, num_instances=10, max_tile_count=1,
+        densify_overflow=0,
+    )
+    assert dec.grew and dec.ts.gaussians.capacity > 80
+    dec2 = check_growth(
+        ts, cfg,
+        n_alive=10,
+        num_instances=int(0.95 * cfg.max_instances),
+        max_tile_count=1,
+        densify_overflow=0,
+    )
+    assert dec2.grew and dec2.cfg.max_instances > cfg.max_instances
+    dec3 = check_growth(
+        ts, cfg, n_alive=10, num_instances=10, max_tile_count=1,
+        densify_overflow=0,
+    )
+    assert not dec3.grew

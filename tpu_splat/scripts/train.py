@@ -34,6 +34,7 @@ def training(args, argv_namespace=None):
     from tpu_splat.raster.config import RasterConfig
     from tpu_splat.train.step import TrainState, make_train_step
     from tpu_splat.train.loop import run_scheduled_events, is_scene_frozen, EventLog
+    from tpu_splat.train.grow import check_growth
 
     model = ModelParams.extract(args).finalize()
     opt = OptimizationParams.extract(args)
@@ -77,6 +78,10 @@ def training(args, argv_namespace=None):
         tile_depth=args.tile_depth,
         chunk=32,
         depth_ratio=pipe.depth_ratio,
+        # the training loss (step.py, mirroring reference train.py:168-196)
+        # never differentiates distortion/M1/M2/median channels; the
+        # train-shaped backward drops those chains (requires depth_ratio=0)
+        grad_channels="train" if pipe.depth_ratio == 0.0 else "full",
     )
 
     ts = TrainState.create(
@@ -99,17 +104,20 @@ def training(args, argv_namespace=None):
 
     bg = jnp.asarray([1.0, 1.0, 1.0] if model.white_background else [0.0, 0.0, 0.0])
 
-    step_fn = jax.jit(
-        make_train_step(
-            opt,
-            cfg,
-            spatial_lr_scale=scene.cameras_extent,
-            use_env_scope=opt.use_env_scope,
-            env_scope_center=opt.env_scope_center,
-            env_scope_radius=opt.env_scope_radius,
-            isp_cfg=isp_cfg,
+    def build_step(raster_cfg):
+        return jax.jit(
+            make_train_step(
+                opt,
+                raster_cfg,
+                spatial_lr_scale=scene.cameras_extent,
+                use_env_scope=opt.use_env_scope,
+                env_scope_center=opt.env_scope_center,
+                env_scope_radius=opt.env_scope_radius,
+                isp_cfg=isp_cfg,
+            )
         )
-    )
+
+    step_fn = build_step(cfg)
 
     from tpu_splat.train.report import TrainReporter
 
@@ -163,12 +171,7 @@ def training(args, argv_namespace=None):
                 f"maxtile {int(aux.max_tile_count)} "
                 f"({(time.time()-t_start):.0f}s)"
             )
-            if int(aux.max_tile_count) > cfg.tile_depth:
-                print(
-                    f"  WARNING: tile overflow ({int(aux.max_tile_count)} > "
-                    f"{cfg.tile_depth}); raise --tile_depth"
-                )
-
+        prev_overflow = log.overflowed
         ts = run_scheduled_events(
             ts,
             iteration,
@@ -178,6 +181,25 @@ def training(args, argv_namespace=None):
             scene_frozen=frozen,
             log=log,
         )
+
+        # geometric capacity growth (functional analogue of the reference's
+        # resize callback, rasterize_points.cu:31-37): whenever diagnostics
+        # report a (nearly) full buffer, pad state/opt/stats, bump the
+        # RasterConfig, and re-jit. Checked after densify events and every
+        # 100 steps (the host reads below sync anyway).
+        if log.overflowed != prev_overflow or iteration % 100 == 0:
+            dec = check_growth(
+                ts,
+                cfg,
+                n_alive=int(aux.n_alive),
+                num_instances=int(aux.num_instances),
+                max_tile_count=int(aux.max_tile_count),
+                densify_overflow=log.overflowed - prev_overflow,
+            )
+            if dec.grew:
+                ts, cfg = dec.ts, dec.cfg
+                print(f"[{iteration}] GROW: " + "; ".join(dec.reasons))
+                step_fn = build_step(cfg)
 
         if iteration % 100 == 0:
             reporter.scalars(
