@@ -129,3 +129,38 @@ def test_checkpoint_gaussians_roundtrip(tmp_path):
         np.asarray(restored.env.texture), np.asarray(state.env.texture)
     )
     assert int(np.asarray(restored.alive).sum()) == 32
+
+
+def test_torch_map_sidecar_roundtrip(tmp_path):
+    """A real torch-saved reference `.map` state dict loads through the
+    stdlib torch-pickle reader (VERDICT: reference-checkpoint import)."""
+    import torch
+
+    from tpu_splat.model.io import load_envmap
+
+    tex = torch.rand(6, 3, 16, 16) - 0.5
+    failv = torch.zeros(3) + 0.25
+    sd = {"params.Cubemap_texture": tex, "params.Cubemap_failv": failv}
+    p = tmp_path / "point_cloud.map"
+    torch.save(sd, str(p))
+
+    env = load_envmap(str(p))
+    np.testing.assert_allclose(np.asarray(env.texture), tex.numpy(), atol=0)
+    np.testing.assert_allclose(np.asarray(env.fail_value), failv.numpy(), atol=0)
+
+
+def test_torch_pickle_parameter_and_noncontiguous(tmp_path):
+    import torch
+
+    from tpu_splat.model.torch_pickle import load_torch_state_dict
+
+    t = torch.arange(24, dtype=torch.float32).reshape(4, 6).t()  # transposed view
+    obj = {"p": torch.nn.Parameter(torch.ones(2, 3)), "t": t,
+           "i": torch.arange(5), "s": 3, "name": "x"}
+    p = tmp_path / "obj.pt"
+    torch.save(obj, str(p))
+    out = load_torch_state_dict(str(p))
+    np.testing.assert_allclose(out["p"], np.ones((2, 3)))
+    np.testing.assert_allclose(out["t"], t.numpy())
+    np.testing.assert_array_equal(out["i"], np.arange(5))
+    assert out["s"] == 3 and out["name"] == "x"

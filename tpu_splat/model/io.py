@@ -78,7 +78,16 @@ def save_envmap(env: CubemapParams, path: str):
 
 
 def load_envmap(path: str) -> CubemapParams:
-    z = np.load(path)
+    """Read a cubemap sidecar: our `.map.npz`, or a reference-trained torch
+    `.map` state dict (scene/gaussian_model.py:261-262,331-336) via the
+    stdlib torch-pickle reader — reference checkpoints load directly."""
+    if path.endswith(".npz"):
+        z = np.load(path)
+    else:
+        from tpu_splat.model.torch_pickle import load_torch_state_dict
+
+        z = load_torch_state_dict(path)
+        z = {k: np.asarray(v, np.float32) for k, v in z.items()}
     return CubemapParams(
         texture=jnp.asarray(z["params.Cubemap_texture"]),
         fail_value=jnp.asarray(z["params.Cubemap_failv"]),
@@ -144,6 +153,8 @@ def load_ply(
     alive[:n] = True
 
     map_path = path.replace(".ply", ".map.npz")
+    if not os.path.exists(map_path):
+        map_path = path.replace(".ply", ".map")  # reference torch sidecar
     if os.path.exists(map_path):
         env = load_envmap(map_path)
     else:
