@@ -231,6 +231,37 @@ def test_train_step_with_isp():
     ts, _ = step(ts, cam, gt, jnp.zeros(3), frame_idx=0, frozen=True)
     assert float(jnp.abs(ts.gaussians.xyz - g0).max()) == 0.0
     assert float(jnp.abs(ts.isp.gain - i0).max()) > 0.0
+    # spatial (per-camera vignette) params also train through the step
+    assert float(jnp.abs(ts.isp.vig_coef).max()) > 0.0
+
+
+def test_isp_spatial_gradients():
+    """The per-pixel vignette surface (pixel_coords/camera_idx signature
+    parity with utils/post_process_utils.py:20-41) must route gradients to
+    the per-camera spatial params."""
+    from tpu_splat.isp import init_isp, apply_isp
+    from tpu_splat.isp.ppisp import pixel_coord_grid
+
+    isp = init_isp(num_frames=3, num_cameras=2)
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.uniform(0.1, 0.9, (16, 24, 3)).astype(np.float32))
+    coords = pixel_coord_grid(16, 24)
+
+    def loss(p, cam_idx):
+        out = apply_isp(p, rgb, frame_idx=1, pixel_coords=coords,
+                        resolution=(24, 16), camera_idx=cam_idx)
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(isp, 1)
+    assert float(jnp.abs(g.vig_coef[1]).min()) > 0.0  # a1 and a2 both live
+    assert float(jnp.abs(g.vig_center[1]).max()) >= 0.0
+    # only the indexed camera's params receive gradient
+    assert float(jnp.abs(g.vig_coef[0]).max()) == 0.0
+    # vignette actually bends the image spatially once coefs are nonzero
+    bent = isp._replace(vig_coef=isp.vig_coef.at[0, 0].set(-0.5))
+    out = apply_isp(bent, rgb, frame_idx=-1, camera_idx=0)
+    ratio = np.asarray(out / jnp.clip(rgb, 1e-6))
+    assert ratio[8, 12].mean() > ratio[0, 0].mean()  # darker at the corner
 
 
 def test_capacity_growth():

@@ -101,7 +101,11 @@ L = TILE_PIX
 WSLOT = 4  # wmax / grad writeback ring depth
 
 _HP = jax.lax.Precision.HIGHEST
-_HI = jax.lax.Precision.HIGH
+# Mosaic lowers only DEFAULT and HIGHEST dot precision (pallas/mosaic/lowering.py
+# raises on HIGH). _HI marks the dots where reduced precision is acceptable —
+# content accumulation rows, not the exp() transmittance path. DEFAULT (bf16
+# inputs, f32 accumulate) keeps the MXU at full rate there.
+_HI = jax.lax.Precision.DEFAULT
 
 
 def _dot_k(rows, rhs, precision=_HP):
@@ -200,24 +204,35 @@ def _geom_rows(fb, cxf, cyf):
 
 
 def _geom_eval(gr, basis3):
-    """Evaluate the five pixel-linear fields with ONE batched MXU dot.
+    """Evaluate the five pixel-linear fields as [CI,1] x [1,L] FMAs.
 
     basis3: [3, L] rows (x, y, 1) on the recentered basis. Returns
     (p0, p1, p2, dn, s2lin) as [CI, L] arrays. p0/p1 are evaluated as
     linear forms and squared PER PIXEL (not expanded into quadratic
     coefficients) so rho3d's rounding matches the oracle's — an
     algebraic expansion shifts alpha by ~1e-6, enough to flip the
-    T < 1e-4 termination knife-edge on opaque stacks."""
+    T < 1e-4 termination knife-edge on opaque stacks.
+
+    Note: a batched [3,5CI]x[3,L] MXU dot is algebraically equivalent and
+    was tried, but Mosaic cannot lane-concatenate the coefficient rows —
+    they are fb slices carrying different sublane-offset layouts
+    (tpu.concatenate rejects mismatched vpad in_layouts), and a K=3
+    contraction wastes the 128-deep systolic array anyway. The broadcast
+    FMA form compiles and keeps each coefficient in [CI,1] position."""
     A, B, C = gr["A"], gr["B"], gr["C"]
-    row_x = jnp.concatenate([A[0], A[1], A[2], gr["da"], gr["sx"]], axis=1)
-    row_y = jnp.concatenate([B[0], B[1], B[2], gr["db"], gr["sy"]], axis=1)
-    row_c = jnp.concatenate(
-        [gr["cp0"], gr["cp1"], gr["cp2"], gr["dcc"], gr["s0"]], axis=1
-    )
-    M3 = jnp.concatenate([row_x, row_y, row_c], axis=0)  # [3, 5CI]
-    G = _dot_k(M3, basis3)  # [5CI, L]
-    return (G[0:CI], G[CI : 2 * CI], G[2 * CI : 3 * CI],
-            G[3 * CI : 4 * CI], G[4 * CI : 5 * CI])
+    px = basis3[0:1, :]  # [1, L]
+    py = basis3[1:2, :]
+    tp = jnp.transpose
+
+    def field(xc, yc, cc):
+        return tp(xc) * px + tp(yc) * py + tp(cc)
+
+    p0 = field(A[0], B[0], gr["cp0"])
+    p1 = field(A[1], B[1], gr["cp1"])
+    p2 = field(A[2], B[2], gr["cp2"])
+    dn = field(gr["da"], gr["db"], gr["dcc"])
+    s2lin = field(gr["sx"], gr["sy"], gr["s0"])
+    return p0, p1, p2, dn, s2lin
 
 
 def _alpha_depth(fb, gr, basis3, r2):

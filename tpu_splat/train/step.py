@@ -40,6 +40,8 @@ def _isp_leaves(isp: ISPParams) -> dict:
         "isp_ctrl_gain": isp.ctrl_gain,
         "isp_ctrl_bias": isp.ctrl_bias,
         "isp_ctrl_log_gamma": isp.ctrl_log_gamma,
+        "isp_vig_coef": isp.vig_coef,
+        "isp_vig_center": isp.vig_center,
     }
 
 
@@ -51,6 +53,8 @@ def _isp_from_leaves(p: dict) -> ISPParams:
         ctrl_gain=p["isp_ctrl_gain"],
         ctrl_bias=p["isp_ctrl_bias"],
         ctrl_log_gamma=p["isp_ctrl_log_gamma"],
+        vig_coef=p["isp_vig_coef"],
+        vig_center=p["isp_vig_center"],
     )
 
 
