@@ -109,3 +109,39 @@ def test_sharded_pallas_matches_single():
         assert not np.any(np.isnan(b)), k
         scale = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / scale, a / scale, atol=1e-3, err_msg=k)
+
+
+def test_camera_batch_dp_matches_mean_of_singles():
+    """DP step over 8 cameras: loss == mean of per-camera losses, densify
+    stats combine like 8 sequential add_stats calls, and params update."""
+    from tpu_splat.train.step import make_train_step_dp
+
+    state, _ = _setup()
+    mesh = make_mesh(8, axis="dp")
+    opt_cfg = OptimizationParams(init_until_iter=0)
+    ts = TrainState.create(state, opt_cfg)
+    cams = [
+        orbit_camera(H, W, radius=4.0, azimuth=0.1 * i, elevation=0.2)
+        for i in range(8)
+    ]
+    cam_b = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    gts = jnp.stack([jnp.full((H, W, 3), 0.3 + 0.05 * i) for i in range(8)])
+    bg = jnp.zeros(3)
+
+    dp_step = jax.jit(make_train_step_dp(opt_cfg, CFG, spatial_lr_scale=1.0, mesh=mesh))
+    ts2, aux = dp_step(ts, cam_b, gts, bg)
+    assert np.isfinite(float(aux.loss))
+
+    step1 = jax.jit(make_train_step(opt_cfg, CFG, spatial_lr_scale=1.0))
+    losses, denoms = [], []
+    for i in range(8):
+        t1, a1 = step1(ts, cams[i], gts[i], bg)
+        losses.append(float(a1.loss))
+        denoms.append(np.asarray(t1.stats.denom))
+    np.testing.assert_allclose(float(aux.loss), np.mean(losses), rtol=1e-5)
+    # stats.denom sums per-camera visibilities (B sequential add_stats calls)
+    np.testing.assert_allclose(
+        np.asarray(ts2.stats.denom), np.sum(denoms, axis=0), atol=1e-5
+    )
+    # parameters actually moved
+    assert not np.allclose(np.asarray(ts2.gaussians.xyz), np.asarray(ts.gaussians.xyz))

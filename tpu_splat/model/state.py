@@ -106,11 +106,21 @@ class GaussianState:
 
 def _knn_mean_sq_dist(points: np.ndarray, k: int = 3, chunk: int = 1024) -> np.ndarray:
     """Mean squared distance to k nearest neighbors (role of simple-knn's
-    distCUDA2, used once at init — scene/gaussian_model.py:170). Exact, chunked
-    numpy; only runs at scene load so speed is uncritical."""
+    distCUDA2, used once at init — scene/gaussian_model.py:170). Exact via a
+    KD-tree (O(N log N): ~1M points in seconds); chunked-numpy O(N^2)
+    fallback when scipy is unavailable."""
     n = points.shape[0]
-    out = np.empty(n, dtype=np.float32)
     kk = min(k, max(1, n - 1))
+    try:
+        from scipy.spatial import cKDTree
+    except ImportError:
+        cKDTree = None
+    if cKDTree is not None and n > 2:
+        tree = cKDTree(np.asarray(points, np.float64))
+        # kk+1 because the nearest hit of each point is itself (distance 0)
+        d, _ = tree.query(points, k=kk + 1, workers=-1)
+        return (d[:, 1:] ** 2).mean(axis=1).astype(np.float32)
+    out = np.empty(n, dtype=np.float32)
     for s in range(0, n, chunk):
         blk = points[s : s + chunk]
         d2 = ((blk[:, None, :] - points[None, :, :]) ** 2).sum(-1)

@@ -27,7 +27,7 @@ def evaluate(model_paths, split="test"):
     import jax.numpy as jnp
 
     from tpu_splat.train.losses import ssim as ssim_fn, psnr as psnr_fn
-    from tpu_splat.eval.lpips import lpips_fn_or_none
+    from tpu_splat.eval.lpips import lpips_fn_or_none, gmsd
 
     lpips = lpips_fn_or_none()
 
@@ -45,27 +45,33 @@ def evaluate(model_paths, split="test"):
                 continue
             renders = _read_dir(renders_dir)
             gts = dict(_read_dir(gt_dir))
-            ssims, psnrs, lpipss, names = [], [], [], []
+            ssims, psnrs, lpipss, gmsds, names = [], [], [], [], []
             for name, img in renders:
                 gt = gts[name]
                 a, b = jnp.asarray(img, jnp.float32), jnp.asarray(gt, jnp.float32)
                 ssims.append(float(ssim_fn(a, b)))
                 psnrs.append(float(psnr_fn(a, b)))
                 lpipss.append(float(lpips(a, b)) if lpips else float("nan"))
+                gmsds.append(gmsd(img, gt))
                 names.append(name)
             full[method] = {
                 "SSIM": float(np.mean(ssims)),
                 "PSNR": float(np.mean(psnrs)),
                 "LPIPS": float(np.mean(lpipss)),
+                # weight-free perceptual fallback, always available (see
+                # tpu_splat.eval.lpips.gmsd; lower is better like LPIPS)
+                "GMSD": float(np.mean(gmsds)),
             }
             per_view[method] = {
                 "SSIM": dict(zip(names, ssims)),
                 "PSNR": dict(zip(names, psnrs)),
                 "LPIPS": dict(zip(names, lpipss)),
+                "GMSD": dict(zip(names, gmsds)),
             }
             print(
                 f"  {method}: PSNR {full[method]['PSNR']:.4f} "
-                f"SSIM {full[method]['SSIM']:.4f} LPIPS {full[method]['LPIPS']:.4f}"
+                f"SSIM {full[method]['SSIM']:.4f} LPIPS {full[method]['LPIPS']:.4f} "
+                f"GMSD {full[method]['GMSD']:.4f}"
             )
         with open(os.path.join(model_path, "results.json"), "w") as f:
             json.dump(full, f, indent=2)

@@ -258,4 +258,166 @@ def make_train_step(
             aux,
         )
 
+    # expose internals so make_train_step_dp can reuse the exact same loss
+    train_step._loss_fn = loss_fn
+    train_step._schedules = (base_lrs, xyz_sched, freeze_xyz_from)
     return train_step
+
+
+def make_train_step_dp(
+    opt_cfg,
+    cfg: RasterConfig,
+    spatial_lr_scale: float,
+    mesh,
+    dp_axis: str = "dp",
+    **step_kwargs,
+):
+    """Camera-batch data-parallel train step (SURVEY §2.16 "batch parallelism
+    across cameras" — absent in the B=1 reference train.py:134-140): render B
+    cameras per step, one per chip along the `dp_axis` of `mesh`, psum/pmean
+    gradients over ICI, and take ONE replicated Adam step on the mean grad.
+
+    Inputs are stacked pytrees with a leading batch axis B == mesh.shape
+    [dp_axis]: cameras (equal static H/W), gt images [B,H,W,3], frame_idx [B].
+    Gaussian/optimizer state stays replicated (it is ~100s of MB at 3M
+    Gaussians — fits per chip); densify statistics combine across the batch
+    exactly as B sequential `add_stats` calls would (sum accumulators, max
+    radii/weights), so density-control semantics are preserved.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_dp = mesh.shape[dp_axis]
+    # per-device render is unsharded (DP outer axis only); tile sharding and
+    # camera DP compose by giving `mesh`/`mesh_axis` through step_kwargs only
+    # for the single-camera path — here each chip owns its whole frame.
+    base = make_train_step(opt_cfg, cfg, spatial_lr_scale, **step_kwargs)
+    loss_fn = base._loss_fn
+    base_lrs, xyz_sched, freeze_xyz_from = base._schedules
+    isp_on = step_kwargs.get("isp_cfg") is not None
+
+    def dp_step(
+        ts: TrainState,
+        cameras: Camera,  # stacked pytree, array leaves [B,...]
+        gt_images: jnp.ndarray,  # [B,H,W,3]
+        bg: jnp.ndarray,  # [3] replicated
+        gt_alphas: jnp.ndarray | None = None,  # [B,H,W,1]
+        frozen: jnp.ndarray | bool = False,
+        frame_idx: jnp.ndarray | None = None,  # [B] int32
+    ) -> tuple[TrainState, StepAux]:
+        step = ts.step + 1
+        initial_stage = step < opt_cfg.init_until_iter
+        frozen_f = jnp.asarray(frozen, bool)
+        if frame_idx is None:
+            frame_idx = -jnp.ones((n_dp,), jnp.int32)
+
+        params = ts.gaussians.param_pytree()
+        if isp_on:
+            params = {**params, **_isp_leaves(ts.isp)}
+
+        def device_fn(params, gaussians, cam_b, gt_b, alpha_b, fidx_b,
+                      bg_r, initial_r, frozen_r):
+            cam = jax.tree.map(lambda x: x[0], cam_b)
+            gt = gt_b[0]
+            alpha = None if alpha_b is None else alpha_b[0]
+            so = jnp.zeros((gaussians.capacity, 2))
+            (loss, (out, l1, ssim_v, normal_loss, mse)), (gp, gso) = (
+                jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                    params, so, gaussians, cam, gt, alpha, bg_r,
+                    initial_r, fidx_b[0], frozen_r,
+                )
+            )
+            pmean = lambda t: jax.lax.pmean(t, dp_axis)
+            gp = jax.tree.map(pmean, gp)
+            loss, l1, ssim_v, normal_loss, mse = map(
+                pmean, (loss, l1, ssim_v, normal_loss, mse)
+            )
+            # densify statistics: combine the B per-camera contributions the
+            # way B sequential add_stats calls would (densify.py:60-78)
+            vis = out.visibility.astype(jnp.float32)
+            gnorm = jnp.linalg.norm(gso, axis=-1)
+            w = out.gaussian_weights
+            wmask = (w > 0.0).astype(jnp.float32)
+            psum = lambda t: jax.lax.psum(t, dp_axis)
+            stat_contrib = (
+                psum(gnorm * vis),
+                psum(vis),
+                psum(w * wmask),
+                psum(wmask),
+                jax.lax.pmax(out.radii.astype(jnp.float32) * vis, dp_axis),
+            )
+            diag = (
+                jax.lax.pmax(out.num_instances, dp_axis),
+                jax.lax.pmax(out.max_tile_count, dp_axis),
+            )
+            return gp, stat_contrib, diag, (loss, l1, ssim_v, normal_loss, mse)
+
+        cam_specs = jax.tree.map(lambda _: P(dp_axis), cameras)
+        alpha_spec = None if gt_alphas is None else P(dp_axis)
+        rep = jax.tree.map(lambda _: P(), params)
+        g_rep = jax.tree.map(lambda _: P(), ts.gaussians)
+        gparams, stat_contrib, diag, losses = jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(rep, g_rep, cam_specs, P(dp_axis), alpha_spec, P(dp_axis),
+                      P(), P(), P()),
+            out_specs=(rep, P(), P(), P()),
+            check_vma=False,
+        )(params, ts.gaussians, cameras, gt_images, gt_alphas, frame_idx,
+          jnp.asarray(bg, jnp.float32), initial_stage, frozen_f)
+        loss, l1, ssim_v, normal_loss, mse = losses
+
+        # identical traced-schedule update as the single-camera step
+        lrs = dict(base_lrs)
+        lrs["xyz"] = xyz_sched(step)
+        lrs["opacity"] = ts.opacity_lr
+        frozen_xyz = step > freeze_xyz_from
+        lrs["xyz"] = jnp.where(frozen_xyz, 0.0, lrs["xyz"])
+        lrs["rotation"] = jnp.where(frozen_xyz, 0.0, base_lrs["rotation"])
+        lrs = {
+            k: jnp.where(frozen_f, 0.0, jnp.asarray(v, jnp.float32))
+            for k, v in lrs.items()
+        }
+        lrs["isp"] = jnp.asarray(base_lrs["isp"], jnp.float32)
+
+        new_params, new_opt = adam_step(params, gparams, ts.opt, lrs)
+        new_g = ts.gaussians.with_params(new_params)
+        new_isp = _isp_from_leaves(new_params) if isp_on else ts.isp
+
+        bump = (
+            (step > opt_cfg.feature_rest_from_iter)
+            & (step % 1000 == 0)
+            & ~frozen_f
+        )
+        new_deg = jnp.minimum(
+            new_g.active_sh_degree + bump.astype(jnp.int32), new_g.max_sh_degree
+        )
+        new_g = new_g.replace(active_sh_degree=new_deg)
+
+        d_grad, d_vis, d_w, d_wm, d_rad = stat_contrib
+        stats = DensifyStats(
+            grad_accum=ts.stats.grad_accum + d_grad,
+            denom=ts.stats.denom + d_vis,
+            accum_w=ts.stats.accum_w + d_w,
+            denom_w=ts.stats.denom_w + d_wm,
+            max_radii=jnp.maximum(ts.stats.max_radii, d_rad),
+        )
+
+        aux = StepAux(
+            loss=loss,
+            l1=l1,
+            ssim=ssim_v,
+            normal_loss=normal_loss,
+            psnr=-10.0 * jnp.log10(mse),
+            num_instances=diag[0],
+            max_tile_count=diag[1],
+            n_alive=new_g.num_alive,
+        )
+        return (
+            ts.replace(
+                gaussians=new_g, opt=new_opt, stats=stats, step=step,
+                isp=new_isp,
+            ),
+            aux,
+        )
+
+    return dp_step
