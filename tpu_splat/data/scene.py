@@ -33,6 +33,11 @@ class LoadedCamera:
         self.alpha = alpha  # [H,W,1] or None
         self.image_name = name
         self.uid = uid
+        # position this camera holds in the TRAINING order (the seeded
+        # shuffle) — the per-frame ISP index the train step used for it
+        # (reference render.py:58-59 reuses frame indices at eval time).
+        # Set by Scene; -1 for test cameras (controller path).
+        self.frame_idx = -1
 
 
 class Scene:
@@ -54,14 +59,29 @@ class Scene:
         self.cameras_extent = info.radius
         self.cameras_mean = info.translate  # sic — see module docstring
 
+        # frame indices are positions in the SHUFFLED training order (what
+        # the train step passes as frame_idx); when loading unshuffled (the
+        # render/eval tools), recover each camera's training position from
+        # the same seeded permutation so the per-frame ISP maps correctly
+        n_train = len(info.train_cameras)
+        perm = list(range(n_train))
+        random.Random(seed).shuffle(perm)  # shuffled[j] = orig[perm[j]]
         if shuffle:
             rng = random.Random(seed)
             rng.shuffle(info.train_cameras)
             rng.shuffle(info.test_cameras)
+            train_frame_idx = list(range(n_train))
+        else:
+            inv = [0] * n_train
+            for j, i in enumerate(perm):
+                inv[i] = j
+            train_frame_idx = inv
 
         self._resolution = resolution
         self.train_cameras = self._load_set(info.train_cameras[:load_limit])
         self.test_cameras = self._load_set(info.test_cameras[:load_limit])
+        for lc, fi in zip(self.train_cameras, train_frame_idx):
+            lc.frame_idx = fi
 
     def _load_set(self, cam_infos) -> list:
         """Decode ahead on the native C++ thread pool (ordered), finish

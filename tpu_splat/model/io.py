@@ -199,6 +199,13 @@ def save_checkpoint(path: str, train_state, iteration: int):
     named["g.env.texture"] = np.asarray(g.env.texture)
     named["g.env.fail_value"] = np.asarray(g.env.fail_value)
     named["g.max_sh_degree"] = np.asarray(g.max_sh_degree)
+    isp = getattr(train_state, "isp", None)
+    if isp is not None:
+        # named ISP leaves so render/eval can restore the trained ISP
+        # without the TrainState template (reference render.py:89-90
+        # restores PPISP state from the checkpoint dict)
+        for f in isp._fields:
+            named[f"isp.{f}"] = np.asarray(getattr(isp, f))
     np.savez(
         path,
         __iteration=np.asarray(iteration),
@@ -233,3 +240,15 @@ def load_checkpoint_gaussians(path: str) -> tuple[GaussianState, int]:
         },
     )
     return state, int(z["__iteration"])
+
+
+def load_checkpoint_isp(path: str):
+    """Restore the trained ISP from a checkpoint, or None when the run was
+    post_process=False (reference render.py:89-90 loads PPISP state the same
+    way; older tpu_splat checkpoints without named ISP leaves return None)."""
+    from tpu_splat.isp.ppisp import ISPParams
+
+    z = np.load(path)
+    if "isp.gain" not in z.files:
+        return None
+    return ISPParams(**{f: jnp.asarray(z[f"isp.{f}"]) for f in ISPParams._fields})

@@ -25,17 +25,28 @@ def main(argv=None):
 
     parser = build_parser(fill_none_model=True)
     parser.add_argument("--iteration", type=int, default=-1)
+    parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--repeats", type=int, default=100)
     parser.add_argument("--max_tiles_per_gaussian", type=int, default=64)
     parser.add_argument("--max_instances", type=int, default=1 << 20)
     parser.add_argument("--tile_depth", type=int, default=1024)
     args = get_combined_args(parser, argv)
 
-    it = args.iteration if args.iteration > 0 else find_max_iteration(args.model_path)
-    ply = os.path.join(
-        args.model_path, "point_cloud", f"iteration_{it}", "point_cloud.ply"
-    )
-    state = load_ply(ply, max_sh_degree=args.sh_degree)
+    isp = None
+    if args.start_checkpoint:
+        from tpu_splat.model.io import load_checkpoint_gaussians, load_checkpoint_isp
+
+        state, it = load_checkpoint_gaussians(args.start_checkpoint)
+        if getattr(args, "post_process", True):
+            # the reference times renders WITH the ISP applied
+            # (eval_fps.py:17 imports ppisp and post-processes each frame)
+            isp = load_checkpoint_isp(args.start_checkpoint)
+    else:
+        it = args.iteration if args.iteration > 0 else find_max_iteration(args.model_path)
+        ply = os.path.join(
+            args.model_path, "point_cloud", f"iteration_{it}", "point_cloud.ply"
+        )
+        state = load_ply(ply, max_sh_degree=args.sh_degree)
     n_gauss = int(np.asarray(state.alive).sum())
 
     scene = Scene(
@@ -50,7 +61,14 @@ def main(argv=None):
     )
     bg = jnp.zeros(3)
 
-    fwd = jax.jit(lambda s, c: render_fast(s, c, cfg, bg).render)
+    if isp is not None:
+        from tpu_splat.isp.ppisp import apply_isp
+
+        fwd = jax.jit(
+            lambda s, c: apply_isp(isp, render_fast(s, c, cfg, bg).render, -1)
+        )
+    else:
+        fwd = jax.jit(lambda s, c: render_fast(s, c, cfg, bg).render)
     # warm up per camera shape
     out = fwd(state, cams[0].camera)
     jax.block_until_ready(out)

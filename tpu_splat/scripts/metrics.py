@@ -58,6 +58,12 @@ def evaluate(model_paths, split="test"):
                 "SSIM": float(np.mean(ssims)),
                 "PSNR": float(np.mean(psnrs)),
                 "LPIPS": float(np.mean(lpipss)),
+                # which perceptual metric LPIPS actually is in this run:
+                # calibrated lin-head LPIPS-vgg only when pretrained weights
+                # exist locally, else NaN + the weight-free GMSD fallback
+                "LPIPS_METRIC": (
+                    "lpips-vgg-v0.1" if lpips is not None else "unavailable (NaN)"
+                ),
                 # weight-free perceptual fallback, always available (see
                 # tpu_splat.eval.lpips.gmsd; lower is better like LPIPS)
                 "GMSD": float(np.mean(gmsds)),

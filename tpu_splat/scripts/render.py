@@ -49,9 +49,16 @@ def render_sets(args):
 
     model = ModelParams.extract(args).finalize()
     pipe = PipelineParams.extract(args)
+    isp = None
     if getattr(args, "start_checkpoint", None):
         state, it = load_state_from_checkpoint(args)
         print(f"Loaded checkpoint {args.start_checkpoint} (iteration {it})")
+        if model.post_process:
+            from tpu_splat.model.io import load_checkpoint_isp
+
+            isp = load_checkpoint_isp(args.start_checkpoint)
+            if isp is not None:
+                print("Applying trained ISP to renders (post_process)")
     else:
         it = (
             args.iteration if args.iteration > 0
@@ -94,8 +101,17 @@ def render_sets(args):
         base = os.path.join(model.model_path, name, f"ours_{it}")
         for idx, lc in enumerate(cams):
             out = render_fast(state, lc.camera, cfg, bg)
+            img = out.render
+            if isp is not None:
+                # train views keep their per-frame transform; test views use
+                # the shared controller (reference render.py:58-59:
+                # frame_idx=-1 for unknown frames)
+                from tpu_splat.isp.ppisp import apply_isp
+
+                fi = lc.frame_idx if name == "train" else -1
+                img = apply_isp(isp, img, frame_idx=fi)
             save_image_u8(
-                os.path.join(base, "renders", f"{idx:05d}.png"), np.asarray(out.render)
+                os.path.join(base, "renders", f"{idx:05d}.png"), np.asarray(img)
             )
             save_image_u8(os.path.join(base, "gt", f"{idx:05d}.png"), lc.image)
             if args.save_normals:

@@ -9,6 +9,7 @@ checkpointing, PLY snapshots and cfg_args persistence.
 """
 from __future__ import annotations
 
+import math
 import os
 import random
 import sys
@@ -165,6 +166,22 @@ def training(args, argv_namespace=None):
         # serializes dispatch on high-latency links; read only when printing
         ema_loss = 0.4 * aux.loss + 0.6 * ema_loss
         if iteration % 100 == 0 or iteration == 1:
+            loss_now = float(aux.loss)
+            if not math.isfinite(loss_now):
+                # reference-style failure snapshot (diff_surfel_rasterization/
+                # __init__.py:91-98): dump every rasterizer input once, then
+                # abort so the failure is reproducible offline
+                from tpu_splat.train.debug_dump import dump_snapshot
+
+                p = dump_snapshot(
+                    model.model_path, ts.gaussians, cam.camera, gt, iteration,
+                    f"non-finite loss {loss_now} at iteration {iteration}",
+                    cfg=cfg, bg=bg,
+                )
+                raise RuntimeError(
+                    f"non-finite loss at iteration {iteration}; "
+                    f"rasterizer inputs dumped to {p or 'existing snapshot_fw.npz'}"
+                )
             print(
                 f"[{iteration}] loss {float(ema_loss):.5f} psnr {float(aux.psnr):.2f} "
                 f"pts {int(aux.n_alive)} inst {int(aux.num_instances)} "
@@ -200,6 +217,20 @@ def training(args, argv_namespace=None):
                 ts, cfg = dec.ts, dec.cfg
                 print(f"[{iteration}] GROW: " + "; ".join(dec.reasons))
                 step_fn = build_step(cfg)
+            elif int(aux.num_instances) >= cfg.max_instances:
+                # instance capacity overflowed and growth did not trigger:
+                # the forward silently dropped instances this step — keep a
+                # one-shot reference-style snapshot for offline repro
+                from tpu_splat.train.debug_dump import dump_snapshot
+
+                p = dump_snapshot(
+                    model.model_path, ts.gaussians, cam.camera, gt, iteration,
+                    f"instance overflow {int(aux.num_instances)} >= "
+                    f"{cfg.max_instances} at iteration {iteration}",
+                    cfg=cfg, bg=bg,
+                )
+                if p:
+                    print(f"[{iteration}] OVERFLOW snapshot -> {p}")
 
         if iteration % 100 == 0:
             reporter.scalars(
@@ -220,7 +251,8 @@ def training(args, argv_namespace=None):
 
         if gui is not None:
             _service_viewer(
-                gui, ts.gaussians, eval_cfg, bg, model.source_path, iteration
+                gui, ts.gaussians, eval_cfg, bg, model.source_path, iteration,
+                isp=ts.isp,
             )
 
         if iteration in args.save_iterations:
@@ -244,9 +276,10 @@ def training(args, argv_namespace=None):
     return ts
 
 
-def _service_viewer(gui, state, cfg, bg, source_path, iteration):
+def _service_viewer(gui, state, cfg, bg, source_path, iteration, isp=None):
     """Answer one pending viewer request per iteration (non-blocking accept;
-    reference train.py:322-349)."""
+    reference train.py:322-349 — which post-processes the streamed frame
+    with PPISP; viewer frames are unknown views, so the controller path)."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -276,6 +309,10 @@ def _service_viewer(gui, state, cfg, bg, source_path, iteration):
             fovy=cam_dict["fovy"],
         )
         out = render_fast(state, cam, cfg, bg, scaling_modifier=scale_mod)
+        if isp is not None and RENDER_MODES[mode] == "RGB":
+            from tpu_splat.isp.ppisp import apply_isp
+
+            out = out._replace(render=apply_isp(isp, out.render, -1))
         img = render_net_image(out, RENDER_MODES[mode])
         gui.send(img, source_path, {"it": iteration})
         if not keep_alive:
