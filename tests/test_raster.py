@@ -215,3 +215,94 @@ def test_volumetric_gradients_finite():
     for a in g:
         assert not np.any(np.isnan(np.asarray(a)))
         assert np.abs(np.asarray(a)).max() > 0
+
+
+def test_aabb_per_axis_culling_parity_bound():
+    """PARITY.md D1: per-axis ellipse-AABB binning (preprocess.py:175-196) vs
+    the reference's circular getRect (auxiliary.h:71-81). Adversarial load:
+    strongly anisotropic (up to 20:1), near-opaque splats — the regime where
+    the dropped circle-minus-AABB corner contributions are largest. Bounds
+    here are the documented deviation record; tightening the binning would
+    have to keep them."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    n = 150
+    xyz = rng.uniform(-1.2, 1.2, (n, 3)).astype(np.float32)
+    # log-scales: one long axis, one short axis (ratio 5..20)
+    s_long = rng.uniform(-2.2, -1.2, (n, 1)).astype(np.float32)
+    s_short = s_long - rng.uniform(1.6, 3.0, (n, 1)).astype(np.float32)
+    scales = jnp.exp(jnp.asarray(np.concatenate([s_long, s_short], axis=1)))
+    rot = rng.normal(size=(n, 4)).astype(np.float32)
+    opacity = jnp.full((n,), 0.95)
+    refl = jnp.full((n,), 0.2)
+    color = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    cam = orbit_camera(H, W, radius=4.0, azimuth=0.9, elevation=0.2)
+    bg = jnp.array([0.3, 0.3, 0.3])
+
+    from tpu_splat.raster.binning import bin_gaussians
+    from tpu_splat.raster.blend import blend
+    from tpu_splat.raster.config import TILE, tile_grid
+
+    tiles_y, tiles_x = tile_grid(H, W)
+
+    def run(circular, diff_args):
+        means3d, rotations, opa, col = diff_args
+        prep = preprocess(
+            means3d, scales, rotations, cam.world_view, cam.full_proj,
+            cam.camera_center, H, W, colors=col,
+        )
+        if circular:
+            # reference getRect semantics: circle of radius max(extent) on
+            # BOTH axes (auxiliary.h:71-81); radius already = ceil(max(...))
+            r = prep.radius.astype(jnp.float32)
+            c = prep.xy
+            rect_min = jnp.stack(
+                [
+                    jnp.clip(jnp.floor((c[:, 0] - r) / TILE), 0, tiles_x),
+                    jnp.clip(jnp.floor((c[:, 1] - r) / TILE), 0, tiles_y),
+                ],
+                axis=-1,
+            ).astype(jnp.int32)
+            rect_max = jnp.stack(
+                [
+                    jnp.clip(jnp.floor((c[:, 0] + r + TILE - 1) / TILE), 0, tiles_x),
+                    jnp.clip(jnp.floor((c[:, 1] + r + TILE - 1) / TILE), 0, tiles_y),
+                ],
+                axis=-1,
+            ).astype(jnp.int32)
+            area = (rect_max[:, 0] - rect_min[:, 0]) * (
+                rect_max[:, 1] - rect_min[:, 1]
+            )
+            area = jnp.where(prep.valid, area, 0)
+            prep = prep._replace(
+                rect_min=rect_min, rect_max=rect_max, tiles_touched=area
+            )
+        binned = bin_gaussians(prep, H, W, CFG)
+        scope = jnp.ones((n,), bool)
+        out = blend(
+            binned.tile_gid, binned.tile_mask, prep.hom, prep.xy, opa,
+            prep.normal_view, prep.color, refl, scope, bg, H, W, CFG,
+        )
+        return out
+
+    diff_args = (jnp.asarray(xyz), jnp.asarray(rot), opacity, color)
+    img_a = run(False, diff_args).color
+    img_c = run(True, diff_args).color
+    delta = np.abs(np.asarray(img_a) - np.asarray(img_c))
+    assert delta.max() <= 0.03, f"max image delta {delta.max():.4f}"
+    assert delta.mean() <= 1e-3, f"mean image delta {delta.mean():.6f}"
+
+    # parameter gradients of an L1-style loss under both binnings
+    tgt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+
+    def loss(circular, diff_args):
+        return jnp.mean(jnp.abs(run(circular, diff_args).color - tgt))
+
+    g_a = jax.grad(lambda a: loss(False, a))(diff_args)
+    g_c = jax.grad(lambda a: loss(True, a))(diff_args)
+    for ga, gc, name in zip(g_a, g_c, ("xyz", "rot", "opacity", "color")):
+        ga, gc = np.asarray(ga), np.asarray(gc)
+        scale = np.abs(gc).max() + 1e-12
+        rel = np.abs(ga - gc).max() / scale
+        assert rel <= 5e-2, f"grad[{name}] max rel delta {rel:.4f}"

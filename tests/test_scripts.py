@@ -75,3 +75,32 @@ def test_cli_train_render_metrics(tmp_path):
         res = json.load(f)
     psnr = res["ours_30"]["PSNR"]
     assert np.isfinite(psnr) and psnr > 5.0, res
+
+
+@pytest.mark.slow
+def test_cli_train_mesh_modes(tmp_path):
+    """--mesh tiles|dp train the same tiny scene on the virtual 8-device CPU
+    mesh through the real CLI (multi-chip wiring, VERDICT r2 item 4)."""
+    from tpu_splat.scripts import train as train_cli
+
+    src = str(tmp_path / "scene")
+    _make_scene(src)
+    common = [
+        "-s", src, "--eval", "--disable_viewer",
+        "--iterations_override", "8",
+        "--num_points", "200",
+        "--init_until_iter", "2",
+        "--save_iterations", "8",
+        "--cubemap_resol", "8",
+        "--max_tiles_per_gaussian", "8",
+        "--max_instances", "8192",
+        "--tile_depth", "256",
+    ]
+    for mode, ndev in (("tiles", 2), ("dp", 3)):
+        out = str(tmp_path / f"model_{mode}")
+        train_cli.main(
+            common + ["-m", out, "--mesh", mode, "--mesh_devices", str(ndev)]
+        )
+        assert os.path.exists(
+            os.path.join(out, "point_cloud", "iteration_8", "point_cloud.ply")
+        )

@@ -132,6 +132,35 @@ def _dot_px(rows, mat, precision=_HP):
     )
 
 
+def _split3(x):
+    """Three-way bf16 split: x == h + m + l exactly for f32 x (8+8+8
+    mantissa bits cover f32's 24)."""
+    h = x.astype(jnp.bfloat16)
+    r1 = x - h.astype(jnp.float32)
+    m = r1.astype(jnp.bfloat16)
+    l = (r1 - m.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h, m, l
+
+
+def _dot_mm_exact01(a01, b):
+    """a01 @ b where a01 is EXACTLY bf16-representable (0/1 triangular /
+    ones masks): three single-pass bf16 MXU matmuls on a 3-way split of b.
+    Every product is exact (x * {0,1}) and accumulation is f32, so the
+    result carries full f32 fidelity in 3 MXU passes — vs HIGHEST's 6
+    (bf16x6) for the same accuracy. This is the hot-scan formulation: the
+    triangular prefix/suffix sums and the ones-row chunk sums all have an
+    exact-01 left operand."""
+    a16 = a01.astype(jnp.bfloat16)
+    out = None
+    for part in _split3(b):
+        d = jax.lax.dot_general(
+            a16, part, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = d if out is None else out + d
+    return out
+
+
 def _ltri_strict():
     """[CI, CI] strict lower-triangular ones: Lstrict @ v = exclusive cumsum."""
     i = jax.lax.broadcasted_iota(jnp.int32, (CI, CI), 0)
@@ -402,10 +431,11 @@ def _tile_blend_kernel(
         a_eff = jnp.where(accept, alpha, 0.0)
 
         # transmittance: exclusive prefix product of (1 - a) in log space.
-        # HIGHEST: at HIGH (bf16x3) a 128-term sum of |u| ~ 4.6 (opaque
-        # stacks) rounds by ~3e-4 after exp — visible against the oracle.
+        # Full f32 fidelity required (a 128-term sum of |u| ~ 4.6 on opaque
+        # stacks feeds exp); the exact-01 3-way split delivers it in 3 MXU
+        # passes vs HIGHEST's 6.
         u = jnp.log1p(-a_eff)
-        prefix = jnp.exp(_excl_cumsum(u, ltri, precision=_HP))
+        prefix = jnp.exp(_dot_mm_exact01(ltri, u))
         T_carry = state[O_T, :].reshape(1, L)
         T_before = T_carry * prefix
         one_m = 1.0 - a_eff
@@ -426,11 +456,11 @@ def _tile_blend_kernel(
         M2c = state[O_M2, :].reshape(1, L) + pre[:, L:]
         dterm = (m * m * A_ + M2c - 2.0 * m * M1c) * w
 
-        # all full chunk-axis sums in ONE ones-row matmul
-        sums = _dot_mm(
+        # all full chunk-axis sums in ONE ones-row matmul (exact-01 split:
+        # the u columns feed exp(T) and need f32 fidelity — see scan note)
+        sums = _dot_mm_exact01(
             jnp.ones((1, CI), jnp.float32),
             jnp.concatenate([u, u_con, w * depth, mw, m2w, dterm], axis=1),
-            precision=_HP,  # the u columns feed exp(T) — see scan note
         )  # [1, 6L]
         T_all = T_carry * jnp.exp(sums[:, 0:L])
         T_new = T_carry * jnp.exp(sums[:, L : 2 * L])
@@ -825,7 +855,7 @@ def _make_bwd_kernel(full_grads: bool):
 
             # reconstruct T_i (transmittance before instance i)
             lf = jnp.where(contrib, -jnp.log1p(-alpha), 0.0)
-            suf_lf = _suffix_incl(lf, utri, precision=_HP)
+            suf_lf = _dot_mm_exact01(utri, lf)
             T_rev = state[0, :].reshape(1, L)
             T_i = T_rev * jnp.exp(suf_lf)
             w = jnp.where(contrib, alpha * T_i, 0.0)
@@ -989,11 +1019,10 @@ def _make_bwd_kernel(full_grads: bool):
             gcnt[0] = k + 1
 
             # update reverse carries for the next (earlier) chunk
-            csum = _dot_mm(
+            csum = _dot_mm_exact01(
                 jnp.ones((1, CI), jnp.float32),
                 jnp.concatenate([lf, bterm], axis=1),
-                precision=_HP,  # lf feeds exp(T_rev) — see scan note
-            )  # [1, 2L]
+            )  # [1, 2L]  (lf feeds exp(T_rev) — exact-01 split, see scan note)
             state[0, :] = (T_rev * jnp.exp(csum[:, 0:L])).reshape(L)
             state[1, :] = (
                 state[1, :].reshape(1, L) + csum[:, L : 2 * L]

@@ -138,20 +138,18 @@ def bin_gaussians(
     ty = ((rows[:, 0] >> 10) & 0x3FF) + j // rw
     inst_tile = jnp.where(slot_valid, ty * tiles_x + tx, n_tiles)
     inst_gid = jnp.where(slot_valid, rows[:, 1], 0)
-    inst_emit = jnp.where(slot_valid, i, cap)
-    inst_rank = jnp.where(slot_valid, gsel, P_)
 
-    # 3. single stable sort by tile id (front-to-back within tiles); the
-    # expansion index and depth rank ride along so per-Gaussian runs stay
-    # recoverable
-    sorted_tile, sorted_gid, sorted_emit, sorted_rank = jax.lax.sort(
-        (inst_tile, inst_gid, inst_emit, inst_rank), num_keys=1, is_stable=True
-    )
-
-    # 4. per-tile ranges (few queries: binary-search method is fine here)
+    # 3. per-tile counts from a SINGLE-KEY sort of the tile ids (payload-free
+    # — the aligned path below does its own payload sort, so this stays 1
+    # column) + few-query binary search
+    sorted_tile_only = jax.lax.sort(inst_tile, is_stable=False)
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+    starts = jnp.searchsorted(sorted_tile_only, tile_ids, side="left").astype(
+        jnp.int32
+    )
+    ends = jnp.searchsorted(sorted_tile_only, tile_ids, side="right").astype(
+        jnp.int32
+    )
     counts = ends - starts
 
     if n_tiles_padded != n_tiles:
@@ -160,9 +158,13 @@ def bin_gaussians(
         counts = jnp.concatenate([counts, jnp.zeros(pad, jnp.int32)])
 
     tile_gid = tile_mask = None
+    sorted_gid = None
     if not aligned:
-        # dense [T, K] layout for the XLA-scan blend path only — the Pallas
-        # path never reads it and the 17M-element gather costs ~120 ms
+        # XLA-scan blend path: one payload sort for per-tile depth order,
+        # then the dense [T, K] layout (the Pallas path never reads these)
+        sorted_tile, sorted_gid = jax.lax.sort(
+            (inst_tile, inst_gid), num_keys=1, is_stable=True
+        )
         counts_capped = jnp.minimum(counts, cfg.tile_depth)
         k = jnp.arange(cfg.tile_depth, dtype=jnp.int32)[None, :]
         slots = jnp.clip(starts[:, None] + k, 0, cap - 1)
@@ -172,9 +174,13 @@ def bin_gaussians(
     aligned_gid = aligned_valid = aligned_starts = None
     aligned_emit = aligned_rank = rank_of = seg_end = seg_start = None
     if aligned:
-        # 5. 128-aligned mutually-exclusive ranges via sort-with-pads: append
-        # one pad instance per missing slot (keyed by its tile) and re-sort
-        # by tile id. Stability puts pads after the tile's real instances.
+        # 4. ONE stable payload sort directly into the 128-aligned layout:
+        # append one pad instance per missing slot (keyed by its tile) to the
+        # EMISSION-ordered instances and sort by tile id. Stability keeps
+        # depth order within tiles (emission is depth-grouped) and puts pads
+        # after each tile's real instances (concat order). This replaces the
+        # former two-sort pipeline (payload sort at cap + pad re-sort at
+        # cap_al) with a single payload sort at cap_al.
         al = INSTANCE_ALIGN
         aligned_counts = ((counts + al - 1) // al) * al
         aligned_starts = (jnp.cumsum(aligned_counts) - aligned_counts).astype(
@@ -188,20 +194,20 @@ def bin_gaussians(
         pad_ok = jnp.arange(pad_cap, dtype=jnp.int32) < npads
         pad_tile = jnp.where(pad_ok, pad_tile, n_tiles_padded)
 
-        key = jnp.concatenate([sorted_tile, pad_tile])
-        gid_cat = jnp.concatenate([sorted_gid, jnp.zeros(pad_cap, jnp.int32)])
+        key = jnp.concatenate([inst_tile, pad_tile])
+        gid_cat = jnp.concatenate([inst_gid, jnp.zeros(pad_cap, jnp.int32)])
         # real instances carry their expansion index (< cap); pads (and
         # capacity-overflow slots, keyed to n_tiles+) carry cap — the same
         # payload provides validity AND the backward's regroup key
         emit_cat = jnp.concatenate(
             [
-                jnp.where(sorted_tile < n_tiles, sorted_emit, cap),
+                jnp.where(slot_valid, i, cap),
                 jnp.full(pad_cap, cap, jnp.int32),
             ]
         )
         rank_cat = jnp.concatenate(
             [
-                jnp.where(sorted_tile < n_tiles, sorted_rank, P_),
+                jnp.where(slot_valid, gsel, P_),
                 jnp.full(pad_cap, P_, jnp.int32),
             ]
         )

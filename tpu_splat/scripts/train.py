@@ -105,16 +105,48 @@ def training(args, argv_namespace=None):
 
     bg = jnp.asarray([1.0, 1.0, 1.0] if model.white_background else [0.0, 0.0, 0.0])
 
+    # multi-chip: --mesh tiles shards the tile sweep across chips (grads
+    # psum'd by the shard_map transpose); --mesh dp renders one camera per
+    # chip and pmeans grads (SURVEY §2.16). Both ride jax.sharding.Mesh over
+    # the local devices (ICI collectives; multi-host via jax.distributed).
+    mesh_mode = getattr(args, "mesh", "none")
+    mesh = None
+    dp_n = 1
+    if mesh_mode in ("tiles", "dp"):
+        from tpu_splat.dist import make_mesh
+
+        n_dev = getattr(args, "mesh_devices", 0) or jax.device_count()
+        mesh = make_mesh(n_dev, axis=mesh_mode)
+        if mesh_mode == "dp":
+            dp_n = n_dev
+            sizes = {(lc.camera.height, lc.camera.width) for lc in scene.train_cameras}
+            if len(sizes) > 1:
+                raise SystemExit(
+                    f"--mesh dp needs uniform camera sizes, got {sorted(sizes)}; "
+                    "use -r to force one resolution"
+                )
+        print(f"mesh: {mesh_mode} over {n_dev} devices")
+
     def build_step(raster_cfg):
+        common = dict(
+            spatial_lr_scale=scene.cameras_extent,
+            use_env_scope=opt.use_env_scope,
+            env_scope_center=opt.env_scope_center,
+            env_scope_radius=opt.env_scope_radius,
+            isp_cfg=isp_cfg,
+        )
+        if mesh_mode == "dp":
+            from tpu_splat.train.step import make_train_step_dp
+
+            return jax.jit(
+                make_train_step_dp(opt, raster_cfg, mesh=mesh, **common)
+            )
         return jax.jit(
             make_train_step(
-                opt,
-                raster_cfg,
-                spatial_lr_scale=scene.cameras_extent,
-                use_env_scope=opt.use_env_scope,
-                env_scope_center=opt.env_scope_center,
-                env_scope_radius=opt.env_scope_radius,
-                isp_cfg=isp_cfg,
+                opt, raster_cfg,
+                mesh=mesh if mesh_mode == "tiles" else None,
+                mesh_axis="tiles",
+                **common,
             )
         )
 
@@ -148,19 +180,44 @@ def training(args, argv_namespace=None):
     t_start = time.time()
 
     for iteration in range(first_iter + 1, opt.iterations + 1):
-        if not order:
-            order = list(range(len(cams)))
-            rng.shuffle(order)
-        vind = order.pop()
-        cam = cams[vind]
-
         frozen = is_scene_frozen(iteration, opt, model.post_process)
-        gt = jnp.asarray(cam.image)
-        alpha = jnp.asarray(cam.alpha) if cam.alpha is not None else None
-        ts, aux = step_fn(
-            ts, cam.camera, gt, bg, gt_alpha=alpha, frozen=frozen,
-            frame_idx=vind,
-        )
+        if dp_n > 1:
+            # camera-batch DP: one camera per chip per step, drawn from the
+            # same without-replacement epoch shuffle
+            vinds = []
+            while len(vinds) < dp_n:
+                if not order:
+                    order = list(range(len(cams)))
+                    rng.shuffle(order)
+                vinds.append(order.pop())
+            batch = [cams[v] for v in vinds]
+            cam = batch[0]  # representative for snapshots/logging
+            gt = jnp.asarray(np.stack([lc.image for lc in batch]))
+            cam_b = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[lc.camera for lc in batch]
+            )
+            if all(lc.alpha is not None for lc in batch):
+                alpha = jnp.asarray(np.stack([lc.alpha for lc in batch]))
+            else:
+                alpha = None
+            ts, aux = step_fn(
+                ts, cam_b, gt, bg, gt_alphas=alpha, frozen=frozen,
+                frame_idx=jnp.asarray(vinds, jnp.int32),
+            )
+            gt = gt[0]  # for the failure-snapshot path below
+        else:
+            if not order:
+                order = list(range(len(cams)))
+                rng.shuffle(order)
+            vind = order.pop()
+            cam = cams[vind]
+
+            gt = jnp.asarray(cam.image)
+            alpha = jnp.asarray(cam.alpha) if cam.alpha is not None else None
+            ts, aux = step_fn(
+                ts, cam.camera, gt, bg, gt_alpha=alpha, frozen=frozen,
+                frame_idx=vind,
+            )
 
         # device-side EMA: float() would force a per-step host sync, which
         # serializes dispatch on high-latency links; read only when printing
@@ -337,6 +394,15 @@ def main(argv=None):
     parser.add_argument("--max_tiles_per_gaussian", type=int, default=64)
     parser.add_argument("--max_instances", type=int, default=1 << 20)
     parser.add_argument("--tile_depth", type=int, default=1024)
+    parser.add_argument(
+        "--mesh", type=str, default="none", choices=["none", "tiles", "dp"],
+        help="multi-chip mode: shard the tile sweep (tiles) or render one "
+        "camera per chip (dp) over a jax.sharding.Mesh",
+    )
+    parser.add_argument(
+        "--mesh_devices", type=int, default=0,
+        help="devices in the mesh (0 = all local devices)",
+    )
     parser.add_argument("--quiet", "-q", action="store_true")
     parser.add_argument("--ip", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=6009)

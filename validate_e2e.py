@@ -10,12 +10,14 @@ so the whole run fits in minutes on one chip.
 """
 from __future__ import annotations
 
+import json
 import os
 import time
 
 import numpy as np
 
 SMOKE = os.environ.get("E2E_SMOKE", "") == "1"  # tiny CPU smoke run
+VALID_OUT = os.environ.get("VALID_OUT", "")  # write a JSON artifact here
 
 
 def main():
@@ -126,6 +128,7 @@ def main():
     log = EventLog()
     t0 = time.time()
     order = rng.permutation(n_views)
+    curve = []  # (iteration, train-batch psnr) samples for the artifact
     for it in range(1, opt.iterations + 1):
         if (it - 1) % n_views == 0:
             order = rng.permutation(n_views)
@@ -134,6 +137,7 @@ def main():
         ts = run_scheduled_events(ts, it, opt, cameras_extent=2.2,
                                   cameras_mean=np.zeros(3), log=log)
         if it % 250 == 0 or it == 1:
+            curve.append((it, round(float(aux.psnr), 3)))
             print(
                 f"it {it:5d} loss {float(aux.loss):.4f} psnr {float(aux.psnr):5.2f} "
                 f"alive {int(aux.n_alive)} inst {int(aux.num_instances)} "
@@ -155,7 +159,41 @@ def main():
           for i in range(n_views, n_views + n_test)]
     print(f"train-view PSNR {np.mean(tr):.2f}  held-out PSNR {np.mean(te):.2f}",
           flush=True)
-    print("PASS" if np.mean(te) >= 28.0 else "BELOW-BAR", flush=True)
+    verdict = "PASS" if np.mean(te) >= 28.0 else "BELOW-BAR"
+    print(verdict, flush=True)
+    if VALID_OUT:
+        import jax as _jax
+
+        artifact = {
+            "backend": _jax.devices()[0].platform,
+            "device": str(_jax.devices()[0]),
+            "raster_backend": "pallas",
+            "config": {
+                "H": H, "W": W, "n_gt": n_gt, "iterations": opt.iterations,
+                "sh_degree": 3, "densify": True, "normal_prop": True,
+                "color_sabotage": True, "max_instances": cfg.max_instances,
+            },
+            "psnr_curve": curve,
+            "train_view_psnr": round(float(np.mean(tr)), 3),
+            "held_out_psnr": round(float(np.mean(te)), 3),
+            "held_out_per_view": [round(float(x), 3) for x in te],
+            "bar": 28.0,
+            "verdict": verdict,
+            "events": {
+                "densified": log.densified, "pruned": log.pruned,
+                "overflowed": log.overflowed, "n_events": len(log.events),
+            },
+            "wall_seconds": round(time.time() - t0, 1),
+            "note": (
+                "Synthetic known-GT scene (no real datasets exist in this "
+                "zero-egress image, so no reference-trained PLY A/B is "
+                "possible); full pipeline incl. densify/normal-prop/"
+                "color-sabotage on the default Pallas backend."
+            ),
+        }
+        with open(VALID_OUT, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {VALID_OUT}", flush=True)
 
 
 if __name__ == "__main__":
