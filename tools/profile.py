@@ -187,6 +187,18 @@ def section_stages():
     jax.jit(stage_bwd)(feats, out_px)
     timed(stage_bwd, (feats, out_px), name="tile_blend bwd (pallas)")
 
+    from tpu_splat.raster.blend import blend_pallas
+
+    def stage_blend_pallas(prep, binned):
+        return blend_pallas(
+            binned, prep.hom, prep.xy, opacity, prep.normal_view, prep.color,
+            refl, scope, bg, H, W, full_grads=False,
+        )
+
+    jax.jit(stage_blend_pallas)(prep, binned)
+    timed(stage_blend_pallas, (prep, binned),
+          name="blend_pallas whole (pack+kern+gw)")
+
     def stage_raster_fwd(xyz, scales, rot):
         return rasterize(
             xyz, scales, rot, opacity, refl, cam, bg, cfg,

@@ -8,9 +8,12 @@ and all parameter gradients; exits nonzero on tolerance breach.
 """
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -22,9 +22,17 @@ no sort, no scatter:
   U_t = 1[col_t]*g. Blocks with no edge pixels skip it entirely (scalar
   prefetch flag) — edge pixels cluster along face-boundary curves, so most
   blocks skip.
-- Matmuls run at HIGHEST precision (f32 via bf16 passes): the one-hot side
-  is exact and the payload keeps f32-grade mantissa, so per-texel sums match
-  the XLA oracle to float rounding.
+- ROW WINDOWING: in tile order the taps of a block's (separable) pixels
+  cluster into a narrow band of texture rows, so the separable matmul runs
+  against a WR-row window at a per-block base row (scalar prefetch) instead
+  of the full R=6L rows — 3x fewer one-hot cells at L=128. Blocks whose
+  separable rows span wider than the window are demoted wholesale to the
+  generic full-width path (their pixels' 2x2 weights are reconstructed from
+  the stored kx/ky).
+- Matmul precision: manual bf16 hi/lo cross products (3 single-pass MXU
+  matmuls: hi*hi + hi*lo + lo*hi, relative error ~2^-16) — half the passes
+  of HIGHEST with texel-grad-irrelevant rounding; the CPU interpret path
+  (what the pytest oracle checks) is exact f32 regardless.
 """
 from __future__ import annotations
 
@@ -36,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BN = 512  # pixels per block
+WR = 256  # separable-path row window (multiple of 8)
 
 # int-pack rows
 I_R0, I_R1, I_C0, I_C1 = 0, 1, 2, 3
@@ -49,7 +58,24 @@ F_G = 7  # 7:7+C
 NF = 16
 
 
-def _tap_accum_kernel(flags_ref, ints_ref, floats_ref, out_ref, *, R, LC, LCp, C):
+def _mm3(A, U):
+    """A^T @ U via manual bf16 hi/lo cross terms: 3 single-pass MXU matmuls
+    (~2^-16 relative error, vs HIGHEST's 6 passes)."""
+    def sp(x):
+        h = x.astype(jnp.bfloat16)
+        l = (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
+        return h, l
+
+    Ah, Al = sp(A)
+    Uh, Ul = sp(U)
+    d = lambda a, u: jax.lax.dot_general(
+        a, u, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return d(Ah, Uh) + d(Ah, Ul) + d(Al, Uh)
+
+
+def _tap_accum_kernel(flags_ref, rbase_ref, ints_ref, floats_ref, out_ref,
+                      *, R, LC, LCp, C, wr_rows):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -75,35 +101,31 @@ def _tap_accum_kernel(flags_ref, ints_ref, floats_ref, out_ref, *, R, LC, LCp, C
     for c in range(C):
         g3 = g3 + jnp.where((jmodC == c) & (j_iota < LC), fcol(F_G + c), 0.0)
 
-    hp = jax.lax.Precision.HIGHEST
-
-    def acc(A, U):
-        out_ref[:] += jax.lax.dot_general(
-            A, U, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=hp,
-        )
-
-    # separable path: all 4 taps of interior pixels in one matmul
+    # separable path against the WR-row window at rbase (wrapper guarantees
+    # every separable pixel's r0/r1 falls inside it)
+    rb = pl.multiple_of(rbase_ref[b], 8)
     m = fcol(F_MSEP)
     wr = fcol(F_WR)
     wc = fcol(F_WC)
+    row_local = jax.lax.broadcasted_iota(jnp.int32, (BN, wr_rows), 1) + rb
     A = (
-        jnp.where(row_iota == icol(I_R0), (1.0 - wr) * m, 0.0)
-        + jnp.where(row_iota == icol(I_R1), wr * m, 0.0)
+        jnp.where(row_local == icol(I_R0), (1.0 - wr) * m, 0.0)
+        + jnp.where(row_local == icol(I_R1), wr * m, 0.0)
     )
     B3 = (
         jnp.where(jdivC == icol(I_C0), 1.0 - wc, 0.0)
         + jnp.where(jdivC == icol(I_C1), wc, 0.0)
     )
-    acc(A, B3 * g3)
+    out_ref[pl.ds(rb, wr_rows), :] += _mm3(A, B3 * g3)
 
-    # generic path: per-tap one-hots, only for blocks containing edge pixels
+    # generic full-width path: per-tap one-hots, only for blocks containing
+    # edge pixels or a too-wide separable row span
     @pl.when(flags_ref[b] != 0)
     def _generic():
         for t in range(4):
             At = jnp.where(row_iota == icol(I_TROW + t), fcol(F_TW + t), 0.0)
             Ut = jnp.where(jdivC == icol(I_TCOL + t), g3, 0.0)
-            acc(At, Ut)
+            out_ref[:] += _mm3(At, Ut)
 
 
 @functools.partial(jax.jit, static_argnames=("L", "C", "interpret"))
@@ -144,6 +166,29 @@ def cubemap_tap_accumulate(
     Np = N + n_pad
     nb = Np // BN
 
+    # per-block separable row window: blocks whose separable rows span more
+    # than WR are demoted wholesale to the generic path (their pixels' 2x2
+    # tap weights reconstructed from the stored kx/ky products)
+    sep_mask = sep_m.reshape(nb, BN) >= 0.5
+    r0b = sep_r0.reshape(nb, BN)
+    r1b = sep_r1.reshape(nb, BN)
+    rmin = jnp.min(jnp.where(sep_mask, jnp.minimum(r0b, r1b), R), axis=1)
+    rmax = jnp.max(jnp.where(sep_mask, jnp.maximum(r0b, r1b), 0), axis=1)
+    wr_rows = min(WR, R)  # small cubemaps: window = the whole row range
+    wide = rmax - rmin > wr_rows - 8  # window (8-aligned base) can't cover
+    # only pixels that WERE separable get reconstructed 2x2 weights — edge
+    # pixels in a demoted block keep their true (seam/corner) tap weights
+    demote = jnp.repeat(wide, BN)[:Np] & (sep_m >= 0.5)
+    sep_m = jnp.where(demote, 0.0, sep_m)
+    # reconstructed interior 2x2 weights (tap order t00, t01=x+1, t10=y+1,
+    # t11; sep_wr = ky, sep_wc = kx — matches _w4_terms with vert=0)
+    a_, b_ = 1.0 - sep_wc, 1.0 - sep_wr
+    w_interior = jnp.stack(
+        [b_ * a_, b_ * sep_wc, sep_wr * a_, sep_wr * sep_wc]
+    )  # [4, Np]
+    tap_w = jnp.where(demote[None, :], w_interior, tap_w)
+    rbase = jnp.clip((rmin // 8) * 8, 0, max(R - wr_rows, 0)).astype(jnp.int32)
+
     zi_row = jnp.zeros((Np,), jnp.int32)
     zf_row = jnp.zeros((Np,), jnp.float32)
     ints = jnp.stack(
@@ -162,9 +207,11 @@ def cubemap_tap_accumulate(
         (sep_m.reshape(nb, BN) < 0.5).astype(jnp.int32), axis=1
     )
 
-    kern = functools.partial(_tap_accum_kernel, R=R, LC=LC, LCp=LCp, C=C)
+    kern = functools.partial(
+        _tap_accum_kernel, R=R, LC=LC, LCp=LCp, C=C, wr_rows=wr_rows
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((NI, BN), lambda b, *_: (0, b)),
@@ -177,7 +224,7 @@ def cubemap_tap_accumulate(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((R, LCp), jnp.float32),
         interpret=interpret,
-    )(flags, ints, floats)
+    )(flags, rbase, ints, floats)
     # [R, LCp] -> [R, L, C] -> [6*L*L, C]
     return out[:, :LC].reshape(R, L, C).reshape(R * L, C)
 
