@@ -84,3 +84,37 @@ def test_save_mesh_ply_roundtrip(tmp_path):
     assert b"element vertex 3" in data and b"element face 1" in data
     body = data[data.index(b"end_header\n") + 11 :]
     assert len(body) == 3 * (12 + 3) + 1 * (1 + 12)
+
+
+def test_generate_path_orbits_training_cloud():
+    """generate_path (PCA recenter -> ellipse -> warp back; reference
+    render_utils.py:176-208) produces cameras that orbit around the
+    training-camera centroid at a comparable radius, looking inward."""
+    import numpy as np
+
+    from tpu_splat.data import orbit_camera
+    from tpu_splat.eval.trajectories import generate_path
+
+    class _LC:
+        def __init__(self, cam):
+            self.camera = cam
+
+    rng = np.random.default_rng(0)
+    cams = [
+        _LC(orbit_camera(32, 32, radius=4.0, azimuth=a, elevation=0.3 + e))
+        for a, e in zip(np.linspace(0, 5.5, 12), 0.05 * rng.normal(size=12))
+    ]
+    path = generate_path(cams, n_frames=24)
+    assert len(path) == 24
+    train_c = np.stack([np.asarray(l.camera.camera_center) for l in cams])
+    path_c = np.stack([np.asarray(c.camera_center) for c in path])
+    r_train = np.linalg.norm(train_c - train_c.mean(0), axis=1).mean()
+    r_path = np.linalg.norm(path_c - train_c.mean(0), axis=1).mean()
+    assert 0.4 * r_train < r_path < 2.0 * r_train
+    # every path camera faces the cloud center (forward row of world_view)
+    for c in path:
+        W = np.asarray(c.world_view)
+        fwd_w = W[:3, :3].T @ np.array([0.0, 0.0, 1.0])
+        to_center = train_c.mean(0) - np.asarray(c.camera_center)
+        to_center /= np.linalg.norm(to_center) + 1e-9
+        assert fwd_w @ to_center > 0.3

@@ -141,3 +141,39 @@ def test_pallas_train_grads_match_full():
 def test_train_grad_channels_requires_zero_depth_ratio():
     with pytest.raises(AssertionError):
         RasterConfig(grad_channels="train", depth_ratio=0.5)
+
+
+def test_bf16_grads_close_to_exact():
+    """RasterConfig.bf16_grads compresses the per-instance grad rows through
+    the regroup sort; per-parameter gradients must stay within bf16-rounding
+    distance of the exact path (the flag is a training-only optimization,
+    certified end-to-end by validate_e2e)."""
+    act, cam = _scene(n=100, seed=9)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    target = jnp.full((H, W, 3), 0.45)
+
+    def make_loss(cfg):
+        def loss(means, scales, rots, opa, sh, refl):
+            out = rasterize(
+                means, scales, rots, opa, refl, cam, bg, cfg,
+                sh=sh, sh_degree=0,
+            )
+            return jnp.sum((out.color - target) ** 2) + 0.1 * jnp.sum(
+                out.refl_map
+            )
+        return loss
+
+    base = dict(max_tiles_per_gaussian=16, max_instances=4096,
+                tile_depth=256, chunk=16, backend="pallas")
+    exact = RasterConfig(**base)
+    comp = RasterConfig(**base, bf16_grads=True)
+    args = (act["means3d"], act["scales"], act["rotations"], act["opacity"],
+            act["sh"], act["refl"])
+    g_e = jax.grad(make_loss(exact), argnums=tuple(range(6)))(*args)
+    g_c = jax.grad(make_loss(comp), argnums=tuple(range(6)))(*args)
+    for n, a, b in zip(["means", "scales", "rots", "opa", "sh", "refl"], g_e, g_c):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-12
+        rel = np.abs(a - b).max() / scale
+        assert rel < 2e-2, f"{n}: {rel}"
+        assert np.isfinite(b).all()

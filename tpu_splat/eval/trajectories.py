@@ -19,27 +19,38 @@ def poses_from_cameras(cams) -> np.ndarray:
     return np.stack(out)
 
 
+def _pad4(poses: np.ndarray) -> np.ndarray:
+    """[N,3,4] -> [N,4,4] homogeneous."""
+    bottom = np.broadcast_to(np.eye(4)[3:], (len(poses), 1, 4))
+    return np.concatenate([poses, bottom], axis=1)
+
+
 def transform_poses_pca(poses: np.ndarray):
-    """Recenter/rotate poses so principal components align with axes
-    (MipNeRF-360-style; reference render_utils.py:80-121)."""
-    t = poses[:, :3, 3]
-    t_mean = t.mean(axis=0)
-    t = t - t_mean
-    eigval, eigvec = np.linalg.eig(t.T @ t)
-    inds = np.argsort(eigval)[::-1]
-    rot = eigvec[:, inds].T
-    if np.linalg.det(rot) < 0:
-        rot = np.diag(np.array([1, 1, -1])) @ rot
-    transform = np.concatenate([rot, rot @ -t_mean[:, None]], axis=1)
-    poses_rec = transform @ np.concatenate(
-        [poses, np.tile(np.eye(4)[None, 3:], (len(poses), 1, 1))], axis=1
-    )
-    if poses_rec.mean(axis=0)[2, 1] < 0:
-        poses_rec = np.diag(np.array([1, -1, -1])) @ poses_rec
-        transform = np.diag(np.array([1, -1, -1, 1]))[:3] @ np.concatenate(
-            [transform, np.eye(4)[3:]], axis=0
-        )
-    return poses_rec, transform
+    """Recenter/rotate poses so the principal axes of the camera-center
+    cloud align with the coordinate axes (the MipNeRF-360 canonicalization;
+    behavioral counterpart of reference render_utils.py:80-121).
+
+    Returns (recentered [N,3,4], transform [3,4]) with
+    recentered = transform @ pad4(poses)."""
+    centers = poses[:, :3, 3]
+    mu = centers.mean(axis=0)
+    x = centers - mu
+    # symmetric eigendecomposition; eigh returns ascending eigenvalues, so
+    # reversing the columns gives principal-axis-major order
+    _, v = np.linalg.eigh(x.T @ x)
+    basis = v[:, ::-1].copy()
+    if np.linalg.det(basis) < 0:
+        basis[:, -1] = -basis[:, -1]  # keep the frame right-handed
+    rot = basis.T
+    transform = np.concatenate([rot, rot @ -mu[:, None]], axis=1)  # [3,4]
+    rec = np.einsum("ij,njk->nik", transform, _pad4(poses))
+    # orient so cameras look "down" in the canonical frame (average camera
+    # y-axis has positive z)
+    if rec.mean(axis=0)[2, 1] < 0:
+        flip = np.diag([1.0, -1.0, -1.0])
+        rec = np.einsum("ij,njk->nik", flip, rec)
+        transform = flip @ transform
+    return rec, transform
 
 
 def generate_ellipse_path(
@@ -89,3 +100,20 @@ def cameras_from_path(path_c2w: np.ndarray, template: Camera) -> list[Camera]:
             )
         )
     return cams
+
+
+def generate_path(cams, n_frames: int = 480, z_variation: float = 0.0,
+                  z_phase: float = 0.0) -> list[Camera]:
+    """Smooth orbit path through the training-camera cloud: PCA-recenter,
+    fit the ellipse in the canonical frame, warp back to world coordinates,
+    and instantiate cameras from the first view's intrinsics (role of
+    reference utils/render_utils.py:176-208 generate_path)."""
+    poses = poses_from_cameras(cams)
+    rec, transform = transform_poses_pca(poses)
+    path = generate_ellipse_path(
+        rec, n_frames=n_frames, z_variation=z_variation, z_phase=z_phase
+    )
+    t4 = np.concatenate([transform, np.eye(4)[3:]], axis=0)
+    back = np.linalg.inv(t4)
+    world = np.einsum("ij,njk->nik", back, _pad4(path))[:, :3]
+    return cameras_from_path(world, cams[0].camera)

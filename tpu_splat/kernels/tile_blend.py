@@ -327,7 +327,14 @@ def _tile_blend_kernel(
     h_sem,
     f_sem,
     w_sem,
+    train_shape: bool = False,
 ):
+    """train_shape=True statically drops the depth-distortion / M1 / M2 /
+    median VALUE computation too (~25% of the per-chunk VPU work): the
+    reference training loss with depth_ratio=0 reads none of those channels
+    (train.py:168-196; surf_depth uses only the expected-depth channel) —
+    the forward analogue of the backward's full_grads=False. Those output
+    rows stay zero; eval/render paths keep the full shape."""
     t = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     start = starts_ref[t]
@@ -446,30 +453,34 @@ def _tile_blend_kernel(
         w = jnp.where(contrib, alpha * T_before, 0.0)
         u_con = jnp.where(contrib, u, 0.0)
 
-        # depth distortion (2DGS appendix; forward.cu:419-427)
-        m, _sd = _m_of_depth(depth)
-        mw = m * w
-        m2w = m * mw
-        pre = _excl_cumsum(jnp.concatenate([mw, m2w], axis=1), ltri)  # [CI, 2L]
-        A_ = 1.0 - T_before
-        M1c = state[O_M1, :].reshape(1, L) + pre[:, :L]
-        M2c = state[O_M2, :].reshape(1, L) + pre[:, L:]
-        dterm = (m * m * A_ + M2c - 2.0 * m * M1c) * w
+        if not train_shape:
+            # depth distortion (2DGS appendix; forward.cu:419-427)
+            m, _sd = _m_of_depth(depth)
+            mw = m * w
+            m2w = m * mw
+            pre = _excl_cumsum(jnp.concatenate([mw, m2w], axis=1), ltri)  # [CI, 2L]
+            A_ = 1.0 - T_before
+            M1c = state[O_M1, :].reshape(1, L) + pre[:, :L]
+            M2c = state[O_M2, :].reshape(1, L) + pre[:, L:]
+            dterm = (m * m * A_ + M2c - 2.0 * m * M1c) * w
+            cols = [u, u_con, w * depth, mw, m2w, dterm]
+        else:
+            cols = [u, u_con, w * depth]
 
         # all full chunk-axis sums in ONE ones-row matmul (exact-01 split:
         # the u columns feed exp(T) and need f32 fidelity — see scan note)
         sums = _dot_mm_exact01(
-            jnp.ones((1, CI), jnp.float32),
-            jnp.concatenate([u, u_con, w * depth, mw, m2w, dterm], axis=1),
-        )  # [1, 6L]
+            jnp.ones((1, CI), jnp.float32), jnp.concatenate(cols, axis=1)
+        )  # [1, len(cols)*L]
         T_all = T_carry * jnp.exp(sums[:, 0:L])
         T_new = T_carry * jnp.exp(sums[:, L : 2 * L])
         done_new = done | (T_all < T_EPS)
 
         state[O_DEPTH, :] += sums[0, 2 * L : 3 * L]
-        state[O_M1, :] += sums[0, 3 * L : 4 * L]
-        state[O_M2, :] += sums[0, 4 * L : 5 * L]
-        state[O_DIST, :] += sums[0, 5 * L : 6 * L]
+        if not train_shape:
+            state[O_M1, :] += sums[0, 3 * L : 4 * L]
+            state[O_M2, :] += sums[0, 4 * L : 5 * L]
+            state[O_DIST, :] += sums[0, 5 * L : 6 * L]
 
         # content accumulation: ONE [8, CI] @ [CI, L] matmul
         cw = _dot_mm(fb[F_CON : F_CON + N_CON], w, precision=_HI)  # [8, L]
@@ -483,17 +494,22 @@ def _tile_blend_kernel(
         state[O_SCOPE, :] += cw[7]  # thresholded > 0 after the sweep
 
         rank = (idx - start + 1).astype(jnp.float32)  # 1-based
-        med_cond = contrib & (T_before > 0.5)
-        med_rank = jnp.max(jnp.where(med_cond, rank, 0.0), axis=0, keepdims=True)
-        has_med = med_rank > 0.0
-        sel = med_cond & (rank == med_rank)
-        med_depth_new = jnp.sum(jnp.where(sel, depth, 0.0), axis=0, keepdims=True)
-        state[O_MED, :] = jnp.where(
-            has_med, med_depth_new, state[O_MED, :].reshape(1, L)
-        ).reshape(L)
-        state[O_MEDRANK, :] = jnp.where(
-            has_med, med_rank, state[O_MEDRANK, :].reshape(1, L)
-        ).reshape(L)
+        if not train_shape:
+            med_cond = contrib & (T_before > 0.5)
+            med_rank = jnp.max(
+                jnp.where(med_cond, rank, 0.0), axis=0, keepdims=True
+            )
+            has_med = med_rank > 0.0
+            sel = med_cond & (rank == med_rank)
+            med_depth_new = jnp.sum(
+                jnp.where(sel, depth, 0.0), axis=0, keepdims=True
+            )
+            state[O_MED, :] = jnp.where(
+                has_med, med_depth_new, state[O_MED, :].reshape(1, L)
+            ).reshape(L)
+            state[O_MEDRANK, :] = jnp.where(
+                has_med, med_rank, state[O_MEDRANK, :].reshape(1, L)
+            ).reshape(L)
         state[O_NCON, :] = jnp.maximum(
             state[O_NCON, :], jnp.max(jnp.where(contrib, rank, 0.0), axis=0)
         )
@@ -554,8 +570,10 @@ def tile_blend_forward(
     org_x: jnp.ndarray,  # [T] i32
     org_y: jnp.ndarray,  # [T] i32
     interpret: bool | None = None,
+    train_shape: bool = False,
 ):
-    """-> (out_px [T, 16, 256], wmax [N_cap])."""
+    """-> (out_px [T, 16, 256], wmax [N_cap]). train_shape statically drops
+    the distortion/median channel computation (see kernel docstring)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     T = starts.shape[0]
@@ -586,7 +604,7 @@ def tile_blend_forward(
     # writes its own ranges, so unwritten slots must be 0, not garbage
     wmax_init = jnp.zeros((8, n_cap), jnp.float32)
     out_px, wmax = pl.pallas_call(
-        _tile_blend_kernel,
+        functools.partial(_tile_blend_kernel, train_shape=train_shape),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, 16, L), jnp.float32),
@@ -602,44 +620,94 @@ def tile_blend_forward(
 from tpu_splat.core.segops import segment_sum_sorted, segment_max_sorted  # noqa: E402 (re-export for blend.py)
 
 
-@jax.custom_vjp
-def _expand_rows(g24, gid, valid, emit_key, rank_of, seg_start, seg_end):
-    return jnp.where(valid[:, None], g24[gid], 0.0)  # [N_cap, F]
+def _pack_pair_bf16(a, b):
+    """Two f32 columns -> one i32 sort payload of bf16 halves."""
+    ia = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    ib = jax.lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type((ia << 16) | ib, jnp.int32)
 
 
-def _expand_rows_fwd(g24, gid, valid, emit_key, rank_of, seg_start, seg_end):
-    out = _expand_rows(g24, gid, valid, emit_key, rank_of, seg_start, seg_end)
-    return out, (valid, emit_key, rank_of, seg_start, seg_end)
+def _unpack_pair_bf16(c):
+    iu = jax.lax.bitcast_convert_type(c, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        (iu >> 16).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    lo = jax.lax.bitcast_convert_type(
+        iu.astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    return hi, lo
 
 
-def _expand_rows_bwd(res, d_out):
-    # Gather-free transpose: ONE variadic sort keyed on the binning's
-    # emission-index payload regroups grad rows per Gaussian (emission
-    # indices are gap-free below min(total, cap), so post-sort position ==
-    # emission index and the analytic [seg_start, seg_end) runs apply).
-    # Measured ~2x cheaper than the row-gather-by-permutation alternative
-    # (a [4M, 24] f32 row gather runs at ~3 GB/s on v5e; lax.sort moves
-    # ~2.3 ms per payload column — see profile_gather.py). Only the F_GRAD
-    # columns that can be nonzero (scope and pads never receive gradients
-    # from the backward kernel) ride the sort. Rows at invalid slots are
-    # exactly zero (the bwd kernel masks by contribution and d_feats is
-    # zero-aliased) and carry emit >= cap, sorting past every segment.
-    from tpu_splat.kernels.segment_reduce import segment_sum_ranges
+@functools.lru_cache(maxsize=None)
+def _make_expand_rows(bf16_pack: bool):
+    @jax.custom_vjp
+    def expand_rows(g24, gid, valid, emit_key, rank_of, seg_start, seg_end):
+        return jnp.where(valid[:, None], g24[gid], 0.0)  # [N_cap, F]
 
-    valid, emit_key, rank_of, seg_start, seg_end = res
-    F = d_out.shape[1]
-    ncols = min(F, F_GRAD)
-    cols = tuple(d_out[:, i] for i in range(ncols))
-    srt = jax.lax.sort((emit_key,) + cols, num_keys=1, is_stable=False)
-    rows_T = jnp.stack(srt[1:], axis=0)  # [ncols, cap_al] emission-grouped
-    d_part = segment_sum_ranges(rows_T, seg_start, seg_end).T[rank_of]
-    d_g24 = jnp.concatenate(
-        [d_part, jnp.zeros((d_part.shape[0], F - ncols), d_part.dtype)], axis=1
-    )
-    return d_g24, None, None, None, None, None, None
+    def fwd(g24, gid, valid, emit_key, rank_of, seg_start, seg_end):
+        out = expand_rows(g24, gid, valid, emit_key, rank_of, seg_start, seg_end)
+        return out, (valid, emit_key, rank_of, seg_start, seg_end)
+
+    def bwd(res, d_out):
+        # Gather-free transpose: ONE variadic sort keyed on the binning's
+        # emission-index payload regroups grad rows per Gaussian (emission
+        # indices are gap-free below min(total, cap), so post-sort position
+        # == emission index and the analytic [seg_start, seg_end) runs
+        # apply). Measured ~2x cheaper than the row-gather-by-permutation
+        # alternative (a [4M, 24] f32 row gather runs at ~3 GB/s on v5e;
+        # lax.sort moves ~2.3 ms per payload column). Only the F_GRAD
+        # columns that can be nonzero (scope and pads never receive
+        # gradients from the backward kernel) ride the sort. Rows at
+        # invalid slots are exactly zero (the bwd kernel masks by
+        # contribution and d_feats is zero-aliased) and carry emit >= cap,
+        # sorting past every segment. With bf16_pack, column PAIRS ride as
+        # one bitcast-packed i32 payload (halves the sort; per-instance
+        # bf16 rounding before the f32 per-Gaussian sum — see
+        # RasterConfig.bf16_grads).
+        from tpu_splat.kernels.segment_reduce import segment_sum_ranges
+
+        valid, emit_key, rank_of, seg_start, seg_end = res
+        F = d_out.shape[1]
+        ncols = min(F, F_GRAD)
+        if bf16_pack:
+            npair = (ncols + 1) // 2
+            packed = []
+            for k in range(npair):
+                a = d_out[:, 2 * k]
+                b = (
+                    d_out[:, 2 * k + 1]
+                    if 2 * k + 1 < ncols
+                    else jnp.zeros_like(a)
+                )
+                packed.append(_pack_pair_bf16(a, b))
+            srt = jax.lax.sort(
+                (emit_key,) + tuple(packed), num_keys=1, is_stable=False
+            )
+            up = []
+            for c in srt[1:]:
+                hi, lo = _unpack_pair_bf16(c)
+                up += [hi, lo]
+            rows_T = jnp.stack(up[:ncols], axis=0)
+        else:
+            cols = tuple(d_out[:, i] for i in range(ncols))
+            srt = jax.lax.sort((emit_key,) + cols, num_keys=1, is_stable=False)
+            rows_T = jnp.stack(srt[1:], axis=0)  # [ncols, cap_al]
+        d_part = segment_sum_ranges(rows_T, seg_start, seg_end).T[rank_of]
+        d_g24 = jnp.concatenate(
+            [d_part, jnp.zeros((d_part.shape[0], F - ncols), d_part.dtype)],
+            axis=1,
+        )
+        return d_g24, None, None, None, None, None, None
+
+    expand_rows.defvjp(fwd, bwd)
+    return expand_rows
 
 
-_expand_rows.defvjp(_expand_rows_fwd, _expand_rows_bwd)
+_expand_rows = _make_expand_rows(False)  # back-compat alias (exact path)
 
 
 def pack_features(
@@ -656,6 +724,7 @@ def pack_features(
     rank_of: jnp.ndarray | None = None,
     seg_start: jnp.ndarray | None = None,
     seg_end: jnp.ndarray | None = None,
+    bf16_grads: bool = False,
 ) -> jnp.ndarray:
     """Gather per-Gaussian attrs into the kernel's [F_PAD, N_cap] layout.
 
@@ -685,7 +754,7 @@ def pack_features(
         axis=1,
     )  # [P, F_PAD]
     if emit_key is not None:
-        feats = _expand_rows(
+        feats = _make_expand_rows(bf16_grads)(
             g24, sorted_gid, valid, emit_key, rank_of, seg_start, seg_end
         )
     else:
@@ -1121,13 +1190,22 @@ def tile_blend_backward(
 
 @functools.lru_cache(maxsize=None)
 def _make_blend_kernel(full_grads: bool):
+    # full_grads=False is the train-shaped pair: the forward skips the
+    # distortion/median channel VALUES and the backward skips their
+    # cotangent chains (both provably unused by the reference training loss)
+    ts_ = not full_grads
+
     @jax.custom_vjp
     def blend_kernel(feats, starts, counts, org_x, org_y):
-        out_px, wmax = tile_blend_forward(feats, starts, counts, org_x, org_y)
+        out_px, wmax = tile_blend_forward(
+            feats, starts, counts, org_x, org_y, train_shape=ts_
+        )
         return out_px, jax.lax.stop_gradient(wmax)
 
     def fwd(feats, starts, counts, org_x, org_y):
-        out_px, wmax = tile_blend_forward(feats, starts, counts, org_x, org_y)
+        out_px, wmax = tile_blend_forward(
+            feats, starts, counts, org_x, org_y, train_shape=ts_
+        )
         return (out_px, jax.lax.stop_gradient(wmax)), (
             feats,
             starts,

@@ -144,6 +144,7 @@ def rasterize(
             mesh=mesh,
             axis=mesh_axis,
             full_grads=cfg.grad_channels != "train",
+            bf16_grads=cfg.bf16_grads,
         )
         return RasterOutput(
             color=out.color,

@@ -121,8 +121,6 @@ def bin_gaussians(
     )
     gsel = jnp.cumsum(mark[:cap]) - 1  # [cap] depth rank per slot
     i = jnp.arange(cap, dtype=jnp.int32)
-    start_pos = jax.lax.cummax(jnp.where(mark[:cap] > 0, i, 0))
-    j = i - start_pos  # linear index within the Gaussian's tile rect
     rw_col = jnp.maximum(
         prep.rect_max[gorder][:, 0] - prep.rect_min[gorder][:, 0], 1
     )
@@ -131,7 +129,10 @@ def bin_gaussians(
         | (prep.rect_min[gorder][:, 1] << 10)
         | (rw_col << 20)
     )
-    rows = jnp.stack([packed, gorder], axis=1)[gsel]  # [cap, 2] row gather
+    # the run start rides the row gather (offsets column) instead of a
+    # second cap-length scan (cummax)
+    rows = jnp.stack([packed, gorder, offsets], axis=1)[gsel]  # [cap, 3]
+    j = i - rows[:, 2]  # linear index within the Gaussian's tile rect
     slot_valid = i < jnp.minimum(total, cap)
     rw = rows[:, 0] >> 20
     tx = (rows[:, 0] & 0x3FF) + j % rw

@@ -391,6 +391,7 @@ def blend_pallas(
     mesh=None,
     axis: str = "tiles",
     full_grads: bool = True,
+    bf16_grads: bool = False,
 ) -> BlendOutput:
     """Forward blend via the Pallas tile kernel (tpu_splat.kernels.tile_blend).
 
@@ -408,6 +409,7 @@ def blend_pallas(
         hom, xy, opacity, normal_view, color, refl, scope_mask,
         emit_key=binned.aligned_emit, rank_of=binned.rank_of,
         seg_start=binned.seg_start, seg_end=binned.seg_end,
+        bf16_grads=bf16_grads,
     )
     T_pad = binned.aligned_starts.shape[0]
     org = tile_origins(height, width, pad_tiles_to=1)

@@ -45,6 +45,14 @@ class RasterConfig:
     # keeps surf_depth off the median channel). "full" differentiates every
     # forward output (the XLA oracle always does).
     grad_channels: str = "full"  # "full" | "train"
+    # bf16-compress the per-instance gradient rows through the backward's
+    # sort-regroup (pairs of grad columns bitcast-packed into one i32 sort
+    # payload — halves the regroup's dominant sort). Per-instance rounding is
+    # ~2^-9 relative BEFORE the f32 per-Gaussian segment sum — standard
+    # bf16-gradient-compression territory; training quality is certified by
+    # validate_e2e with this flag on. Off by default so parity tests measure
+    # exact f32 gradients.
+    bf16_grads: bool = False
 
     def __post_init__(self):
         assert self.tile_depth % self.chunk == 0

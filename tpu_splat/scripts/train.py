@@ -83,6 +83,10 @@ def training(args, argv_namespace=None):
         # never differentiates distortion/M1/M2/median channels; the
         # train-shaped backward drops those chains (requires depth_ratio=0)
         grad_channels="train" if pipe.depth_ratio == 0.0 else "full",
+        # bf16-compressed per-instance grad rows through the backward
+        # regroup (exact f32 per-Gaussian sums; --exact_grads disables)
+        bf16_grads=(pipe.depth_ratio == 0.0
+                    and not getattr(args, "exact_grads", False)),
     )
 
     ts = TrainState.create(
@@ -394,6 +398,10 @@ def main(argv=None):
     parser.add_argument("--max_tiles_per_gaussian", type=int, default=64)
     parser.add_argument("--max_instances", type=int, default=1 << 20)
     parser.add_argument("--tile_depth", type=int, default=1024)
+    parser.add_argument(
+        "--exact_grads", action="store_true",
+        help="disable bf16 compression of per-instance gradient rows",
+    )
     parser.add_argument(
         "--mesh", type=str, default="none", choices=["none", "tiles", "dp"],
         help="multi-chip mode: shard the tile sweep (tiles) or render one "

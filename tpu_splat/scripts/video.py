@@ -19,11 +19,7 @@ def main(argv=None):
 
     from tpu_splat.config import build_parser, get_combined_args
     from tpu_splat.data.scene import Scene
-    from tpu_splat.eval.trajectories import (
-        poses_from_cameras,
-        generate_ellipse_path,
-        cameras_from_path,
-    )
+    from tpu_splat.eval.trajectories import generate_path
     from tpu_splat.model.io import load_ply
     from tpu_splat.raster.config import RasterConfig
     from tpu_splat.renderer import render_fast
@@ -45,9 +41,9 @@ def main(argv=None):
         args.source_path, args.model_path, images=args.images,
         resolution=args.resolution, eval_split=False, shuffle=False,
     )
-    poses = poses_from_cameras(scene.train_cameras)
-    path = generate_ellipse_path(poses, n_frames=args.n_frames)
-    cams = cameras_from_path(path, scene.train_cameras[0].camera)
+    # PCA-canonical ellipse path warped back to world coordinates
+    # (reference generate_path, render_utils.py:176-208)
+    cams = generate_path(scene.train_cameras, n_frames=args.n_frames)
 
     cfg = RasterConfig()
     bg = jnp.zeros(3)
