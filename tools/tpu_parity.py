@@ -27,8 +27,8 @@ def main():
     from tpu_splat.raster import rasterize
     from tpu_splat.raster.config import RasterConfig
 
-    H = W = 128
-    n = 4000
+    H = W = 256
+    n = 2500
     raw = random_scene(n, seed=0, sh_degree=3)
     cam = orbit_camera(H, W, radius=4.0, azimuth=0.4, elevation=0.3)
     bg = jnp.array([0.1, 0.2, 0.3])
@@ -45,8 +45,12 @@ def main():
     )
 
     def run(backend):
+        # capacities must be far above the real instance/tile loads: the
+        # XLA path truncates per-tile at tile_depth while the Pallas path
+        # has no per-tile cap, so ANY truncation shows up as backend
+        # divergence that is actually a config artifact
         cfg = RasterConfig(
-            max_tiles_per_gaussian=32, max_instances=1 << 17, tile_depth=1024,
+            max_tiles_per_gaussian=64, max_instances=1 << 18, tile_depth=4096,
             chunk=32, backend=backend,
         )
 
@@ -61,6 +65,22 @@ def main():
                 + 0.1 * jnp.mean(out.refl_map)
             )
             return l, (out.color, out.others, out.refl_map)
+
+        diag = jax.jit(
+            lambda m, s, r, o, rf, sh_: rasterize(
+                m, s, r, o, rf, cam, bg, cfg, sh=sh_, sh_degree=3
+            )
+        )(
+            act["means3d"], act["scales"], act["rotations"], act["opacity"],
+            act["refl"], act["sh"],
+        )
+        print(
+            f"[{backend}] instances {int(diag.num_instances)} / "
+            f"{cfg.max_instances}  max_tile {int(jnp.max(diag.tile_counts))} "
+            f"/ {cfg.tile_depth}  max_area {int(diag.max_area)} / "
+            f"{cfg.max_tiles_per_gaussian}",
+            flush=True,
+        )
 
         f = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4, 5),
                                        has_aux=True))
@@ -89,7 +109,10 @@ def main():
 
     chk("loss", np.float64(lp), np.float64(lx), 1e-5)
     chk("color", cp, cx, 5e-5)
-    chk("others", op, ox, 5e-4)
+    # allmap channels span very different magnitudes (depth ~ scene units,
+    # alpha/mask ~ 1): compare per-channel relative to each channel's scale
+    o_scale = np.abs(ox).reshape(-1, ox.shape[-1]).max(axis=0) + 1e-6
+    chk("others(rel)", op / o_scale, ox / o_scale, 1e-3)
     chk("refl_map", rp, rx, 5e-5)
     names = ("d_means3d", "d_scales", "d_rot", "d_opacity", "d_refl", "d_sh")
     for nm, a, b in zip(names, gp, gx):
