@@ -323,6 +323,70 @@ def _sample4_bwd(res, g):
 _sample4.defvjp(_sample4_fwd, _sample4_bwd)
 
 
+def _pad_faces(texture: jnp.ndarray) -> jnp.ndarray:
+    """[6, C, L, L] -> [6, C, L+2, L+2] with each 1-texel border filled from
+    the adjacent face via the EdgeTable, and corner pads set to the MEAN of
+    their 3 valid neighbors.
+
+    This bakes the whole seamless-filter special-casing into data: plain
+    bilinear on the padded face with x0p = floor(su-0.5)+1 is EXACTLY the
+    reference seamless filter —
+    - at a low edge the reference flips kx to 0.5-su and routes weight b*kx
+      to the EdgeTable neighbor (cubemapencoder.cu:221-233); standard
+      bilinear on the padded window [-1, 0] gives the pad texel weight
+      (1 - (su+0.5)) = 0.5-su, the same number;
+    - at a corner the reference averages the 3 valid texels for the missing
+      4th tap (:235-240); with the corner pad := mean of those 3, standard
+      2x2 weights reproduce the identical expansion.
+    Differentiable end-to-end: pads are gathers/means of source texels, so
+    texel gradients fold back through this op's transpose automatically.
+    """
+    L = texture.shape[-1]
+    y_idx = np.arange(L, dtype=np.int32)
+    strips = {}
+    # per face: (flag column in _EDGE_*: 0=left(u<0.5), 1=right, 2=top(v<0.5), 3=bottom)
+    # boundary texel coordinates the EdgeTable is keyed on
+    specs = {
+        0: (np.zeros(L, np.int32), y_idx),  # left   edge -> x=0 column
+        1: (np.full(L, L - 1, np.int32), y_idx),  # right  -> x=L-1 column
+        2: (y_idx, np.zeros(L, np.int32)),  # top    -> y=0 row (x varies)
+        3: (y_idx, np.full(L, L - 1, np.int32)),  # bottom -> y=L-1 row
+    }
+    pads = []
+    for f in range(6):
+        face_pads = {}
+        for flag, (xs, ys) in specs.items():
+            nf, nx, ny = _edge_remap(
+                np.full(L, f, np.int32), xs, ys, np.full(L, flag, np.int32), L
+            )
+            face_pads[flag] = texture[nf, :, ny, nx]  # [L, C]
+        pads.append(face_pads)
+
+    Lp = L + 2
+    P = jnp.zeros(texture.shape[:2] + (Lp, Lp), texture.dtype)
+    P = P.at[:, :, 1:-1, 1:-1].set(texture)
+    for f in range(6):
+        P = P.at[f, :, 1:-1, 0].set(pads[f][0].T)  # left column
+        P = P.at[f, :, 1:-1, Lp - 1].set(pads[f][1].T)
+        P = P.at[f, :, 0, 1:-1].set(pads[f][2].T)  # top row
+        P = P.at[f, :, Lp - 1, 1:-1].set(pads[f][3].T)
+        # corners: mean of the 3 valid neighbors (in-face corner + its two
+        # edge pads), matching the reference vertex average
+        for (cy, cx), (iy, ix), (e1, i1), (e2, i2) in (
+            ((0, 0), (0, 0), (0, 0), (2, 0)),
+            ((0, Lp - 1), (0, L - 1), (1, 0), (2, L - 1)),
+            ((Lp - 1, 0), (L - 1, 0), (0, L - 1), (3, 0)),
+            ((Lp - 1, Lp - 1), (L - 1, L - 1), (1, L - 1), (3, L - 1)),
+        ):
+            corner = (
+                texture[f, :, iy, ix]
+                + pads[f][e1][i1]
+                + pads[f][e2][i2]
+            ) / 3.0
+            P = P.at[f, :, cy, cx].set(corner)
+    return P
+
+
 def _tex_gather(texture: jnp.ndarray, face, x, y):
     """texture [6,C,L,L]; (face,x,y) [B] -> [B,C]."""
     L = texture.shape[-1]
@@ -383,67 +447,47 @@ def sample_cubemap(
             t11 = (face, x1, y1)
             is_vertex = jnp.zeros(su.shape, bool)
             sep_m = jnp.ones(su.shape, jnp.float32)
+            flat = lambda t: (t[0] * L + t[2]) * L + t[1]
+            idx4 = jnp.stack([flat(t00), flat(t01), flat(t10), flat(t11)])
+            sep_i = jnp.stack(
+                [face * L + y0, face * L + y1, x0, x1]
+            ).astype(jnp.int32)
+            tex_flat = params.texture.transpose(0, 2, 3, 1).reshape(
+                -1, params.texture.shape[1]
+            )
+            out = _sample4(
+                tex_flat, kx, ky, is_vertex.astype(jnp.float32), idx4, sep_i,
+                jax.lax.stop_gradient(sep_m),
+            )
         elif interp == "seamless":
-            on_left = su < 0.5
-            on_right = su >= L - 0.5
-            on_top = sv < 0.5
-            on_bot = sv >= L - 0.5
-            u_edge = on_left | on_right
-            v_edge = on_top | on_bot
-            is_vertex = u_edge & v_edge
-            # weight flip at low edges (cubemapencoder.cu:221-233)
-            kx = jnp.where(on_left, 0.5 - su, kx)
-            ky = jnp.where(on_top, 0.5 - sv, ky)
-            uflag = jnp.where(on_left, 0, 1)  # flag 1 vs 2 -> table col 0/1
-            vflag = jnp.where(on_top, 2, 3)  # flag 4 vs 8 -> table col 2/3
-
-            fu, xu, yu = _edge_remap(face, x0, y0, uflag, L)  # u-side neighbor @ y0
-            fu1, xu1, yu1 = _edge_remap(face, x0, y1, uflag, L)  # @ y1
-            fv, xv, yv = _edge_remap(face, x0, y0, vflag, L)  # v-side neighbor @ x0
-            fv1, xv1, yv1 = _edge_remap(face, x1, y0, vflag, L)  # @ x1
-
-            def pick(cond, a, b):
-                return tuple(jnp.where(cond, ai, bi) for ai, bi in zip(a, b))
-
-            # tap layout (cubemapencoder.cu:235-258):
-            #   vertex: t00=(f,x0,y0) t01=edge_u(t00) t10=edge_v(t00) t11=avg
-            #   u-edge: t00=(f,x0,y0) t01=edge_u@y0 t10=(f,x0,y1) t11=edge_u@y1
-            #   v-edge: t00=(f,x0,y0) t01=(f,x1,y0) t10=edge_v@x0 t11=edge_v@x1
-            #   interior: standard 2x2
-            t00 = (face, x0, y0)
-            t01 = pick(
-                is_vertex | (u_edge & ~v_edge),
-                (fu, xu, yu),
-                (face, x1, y0),
+            # Seamless filtering as DATA, not control flow: plain bilinear on
+            # the EdgeTable-padded faces is exactly the reference's seamless
+            # filter incl. the low-edge weight flips and 3-texel corner
+            # average (see _pad_faces). Every pixel takes the separable fast
+            # path — no per-pixel seam cases, no EdgeTable gathers at
+            # sample time.
+            Lp = L + 2
+            padded = _pad_faces(params.texture)
+            xp0 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, Lp - 2)
+            yp0 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, Lp - 2)
+            xp1 = xp0 + 1
+            yp1 = yp0 + 1
+            r0 = face * Lp + yp0
+            r1 = face * Lp + yp1
+            idx4 = jnp.stack(
+                [r0 * Lp + xp0, r0 * Lp + xp1, r1 * Lp + xp0, r1 * Lp + xp1]
             )
-            t10 = pick(
-                is_vertex,
-                (fv, xv, yv),
-                pick(u_edge, (face, x0, y1), pick(v_edge, (fv, xv, yv), (face, x0, y1))),
+            sep_i = jnp.stack([r0, r1, xp0, xp1]).astype(jnp.int32)
+            sep_m = jnp.ones(su.shape, jnp.float32)
+            tex_flat = padded.transpose(0, 2, 3, 1).reshape(
+                -1, padded.shape[1]
             )
-            t11 = pick(
-                u_edge & ~v_edge,
-                (fu1, xu1, yu1),
-                pick(v_edge & ~u_edge, (fv1, xv1, yv1), (face, x1, y1)),
+            out = _sample4(
+                tex_flat, kx, ky, jnp.zeros(su.shape, jnp.float32), idx4,
+                sep_i, jax.lax.stop_gradient(sep_m),
             )
-            sep_m = (~(u_edge | v_edge)).astype(jnp.float32)
         else:
             raise ValueError(f"unknown interp {interp!r}")
-
-        # unified 4-tap weighted sample; the corner ("vertex") folding and
-        # all weight math live inside the _sample4 custom-VJP boundary
-        flat = lambda t: (t[0] * L + t[2]) * L + t[1]
-        idx4 = jnp.stack([flat(t00), flat(t01), flat(t10), flat(t11)])
-        sep_i = jnp.stack(
-            [face * L + y0, face * L + y1, x0, x1]
-        ).astype(jnp.int32)
-        tex_flat = params.texture.transpose(0, 2, 3, 1).reshape(
-            -1, params.texture.shape[1]
-        )
-        out = _sample4(
-            tex_flat, kx, ky, is_vertex.astype(jnp.float32), idx4, sep_i,
-            jax.lax.stop_gradient(sep_m),
-        )
 
     out = jnp.where(fail[..., None], params.fail_value, out)
     return out

@@ -114,13 +114,25 @@ def bin_gaussians(
     # id; the run start (offsets[gsel]) is recovered gather-free with a
     # cummax over the expansion markers. (Supports images up to 1024 tiles
     # per axis = 16K pixels.)
+    # mark scatter: valid Gaussians' offsets are strictly ascending; dead
+    # rows (area 0) would collide at the tail, so they scatter to unique
+    # past-cap slots — the sorted+unique promise lets XLA vectorize the
+    # scatter (measured ~4x faster than the colliding form)
+    rank_ids = jnp.arange(P_, dtype=jnp.int32)
+    # dead rows AND capacity-overflow rows take unique past-cap slots
+    # (mark[:cap] never sees them, matching the old clip-at-cap semantics)
+    scat_idx = jnp.where(
+        (area_o > 0) & (offsets < cap), offsets, cap + rank_ids
+    )
     mark = (
-        jnp.zeros((cap + 1,), jnp.int32)
-        .at[jnp.minimum(offsets, cap)]
-        .add(1)
+        jnp.zeros((cap + P_ + 1,), jnp.int32)
+        .at[scat_idx]
+        .add(1, indices_are_sorted=True, unique_indices=True)
     )
     gsel = jnp.cumsum(mark[:cap]) - 1  # [cap] depth rank per slot
     i = jnp.arange(cap, dtype=jnp.int32)
+    start_pos = jax.lax.cummax(jnp.where(mark[:cap] > 0, i, 0))
+    j = i - start_pos  # linear index within the Gaussian's tile rect
     rw_col = jnp.maximum(
         prep.rect_max[gorder][:, 0] - prep.rect_min[gorder][:, 0], 1
     )
@@ -129,10 +141,7 @@ def bin_gaussians(
         | (prep.rect_min[gorder][:, 1] << 10)
         | (rw_col << 20)
     )
-    # the run start rides the row gather (offsets column) instead of a
-    # second cap-length scan (cummax)
-    rows = jnp.stack([packed, gorder, offsets], axis=1)[gsel]  # [cap, 3]
-    j = i - rows[:, 2]  # linear index within the Gaussian's tile rect
+    rows = jnp.stack([packed, gorder], axis=1)[gsel]  # [cap, 2] row gather
     slot_valid = i < jnp.minimum(total, cap)
     rw = rows[:, 0] >> 20
     tx = (rows[:, 0] & 0x3FF) + j % rw
