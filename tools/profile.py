@@ -83,7 +83,7 @@ def _bench_setup():
     if on_tpu:
         H, W, n, capacity = 1088, 1920, 1_000_000, 1 << 20
         cfg = RasterConfig(
-            max_tiles_per_gaussian=32, max_instances=3_670_016,
+            max_tiles_per_gaussian=32, max_instances=3_981_312,  # = bench.py
             tile_depth=2048, chunk=32, backend="pallas",
         )
     else:
@@ -177,7 +177,15 @@ def section_stages():
         return tile_blend_forward(feats, al, counts, org_x, org_y)
 
     out_px, _ = jax.jit(stage_blend)(feats)
-    timed(stage_blend, (feats,), name="tile_blend fwd (pallas)")
+    timed(stage_blend, (feats,), name="tile_blend fwd (full)")
+
+    def stage_blend_ts(feats):
+        return tile_blend_forward(
+            feats, al, counts, org_x, org_y, train_shape=True
+        )
+
+    jax.jit(stage_blend_ts)(feats)
+    timed(stage_blend_ts, (feats,), name="tile_blend fwd (train-shape)")
 
     ct = jax.tree.map(jnp.ones_like, out_px)
 
@@ -185,7 +193,15 @@ def section_stages():
         return tile_blend_backward(feats, al, counts, org_x, org_y, out_px, ct)
 
     jax.jit(stage_bwd)(feats, out_px)
-    timed(stage_bwd, (feats, out_px), name="tile_blend bwd (pallas)")
+    timed(stage_bwd, (feats, out_px), name="tile_blend bwd (full)")
+
+    def stage_bwd_ts(feats, out_px):
+        return tile_blend_backward(
+            feats, al, counts, org_x, org_y, out_px, ct, full_grads=False
+        )
+
+    jax.jit(stage_bwd_ts)(feats, out_px)
+    timed(stage_bwd_ts, (feats, out_px), name="tile_blend bwd (train-shape)")
 
     from tpu_splat.raster.blend import blend_pallas
 
