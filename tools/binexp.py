@@ -134,6 +134,37 @@ def main():
     timed(s_aligned_sort3, (inst_tile, inst_gid, pad_tile),
           name="aligned stable sort key+2 [cap_al]")
 
+    # regroup-permutation candidates: the backward regroup must reorder
+    # [cap_al, 19] grad rows into emission order. Today: ONE sort with 19
+    # payload columns (~45 ms). Candidates: row scatter-set at unique
+    # (unsorted) destinations, and the same with a sorted-destination
+    # second sort of (emit, slot) computed once in binning.
+    cap_al = cap + 8160 * 128
+    emit_perm = rng.permutation(cap_al).astype(np.int32)
+    demit = jnp.asarray(emit_perm)
+    rows19 = jnp.asarray(rng.normal(size=(cap_al, 19)).astype(np.float32))
+
+    def r_sort(demit, rows19):
+        cols = tuple(rows19[:, i] for i in range(19))
+        srt = jax.lax.sort((demit,) + cols, num_keys=1, is_stable=False)
+        return jnp.stack(srt[1:], axis=0)
+
+    def r_scatter(demit, rows19):
+        return (
+            jnp.zeros((cap_al, 19), jnp.float32)
+            .at[demit]
+            .set(rows19, unique_indices=True)
+        )
+
+    def r_gather(demit, rows19):
+        # inverse-permutation row gather (perm precomputed: 2-col sort cost
+        # belongs to the forward/binning side)
+        return rows19[demit]
+
+    timed(r_sort, (demit, rows19), name="regroup: 19-col sort")
+    timed(r_scatter, (demit, rows19), name="regroup: unique row scatter-set")
+    timed(r_gather, (demit, rows19), name="regroup: row gather by perm")
+
     # correctness of the blocked variants
     a = np.asarray(jax.jit(s_cumsum)(mark))
     b = np.asarray(jax.jit(s_cumsum_blocked)(mark))
