@@ -88,6 +88,40 @@ def main():
     def s_rowgather(rows_src, gsel):
         return rows_src[gsel]
 
+    # sorted+unique scatter variants (the binning now routes dead/overflow
+    # rows to unique past-cap slots) + hold-last associative scan — the
+    # building blocks of a gather-free expansion
+    uniq_idx = jnp.asarray(
+        np.where(area > 0, offsets_np, cap + np.arange(P, dtype=np.int32))
+    )
+
+    def s_mark_sorted(uniq_idx):
+        return (
+            jnp.zeros((cap + P + 1,), jnp.int32)
+            .at[uniq_idx]
+            .add(1, indices_are_sorted=True, unique_indices=True)
+        )
+
+    vals = jnp.asarray(rng.integers(0, 1 << 30, P).astype(np.int32))
+
+    def s_set_sorted(uniq_idx, vals):
+        return (
+            jnp.zeros((cap + P + 1,), jnp.int32)
+            .at[uniq_idx]
+            .set(vals, indices_are_sorted=True, unique_indices=True)
+        )
+
+    arr_scan = jnp.asarray(rng.integers(-(1 << 31), 1 << 30, cap).astype(np.int32))
+
+    def s_holdlast(arr_scan):
+        return jax.lax.associative_scan(
+            lambda a, b: jnp.where(b < 0, b, a), arr_scan
+        )
+
+    timed(s_mark_sorted, (uniq_idx,), name="mark scatter sorted+unique")
+    timed(s_set_sorted, (uniq_idx, vals), name="value scatter-set sorted+unique")
+    timed(s_holdlast, (arr_scan,), name="hold-last associative_scan [cap]")
+
     timed(s_mark, (offsets,), name="mark scatter (1M -> cap)")
     timed(s_cumsum, (mark,), name="cumsum [cap] (native)")
     timed(s_cumsum_blocked, (mark,), name="cumsum [cap] (blocked)")
