@@ -306,3 +306,39 @@ def test_aabb_per_axis_culling_parity_bound():
         scale = np.abs(gc).max() + 1e-12
         rel = np.abs(ga - gc).max() / scale
         assert rel <= 5e-2, f"grad[{name}] max rel delta {rel:.4f}"
+
+
+def test_binning_expand_modes_identical():
+    """The gather and hold-last-scan expansion formulations produce
+    identical binning (both exact; selected by raster.binning.EXPAND_MODE
+    for on-device profiling)."""
+    from tpu_splat.raster import binning as B
+    from tpu_splat.raster.binning import bin_gaussians
+
+    act, cam = _scene(n=150, seed=3)
+    prep = preprocess(
+        act["means3d"], act["scales"], act["rotations"], cam.world_view,
+        cam.full_proj, cam.camera_center, H, W,
+        colors=jnp.zeros((150, 3)),
+    )
+
+    outs = {}
+    for mode in ("gather", "scan"):
+        old = B.EXPAND_MODE
+        B.EXPAND_MODE = mode
+        try:
+            # fresh closure per mode: jit caches key on function identity,
+            # not the module global
+            outs[mode] = jax.jit(
+                lambda p, _m=mode: bin_gaussians(p, H, W, CFG, aligned=True)
+            )(prep)
+        finally:
+            B.EXPAND_MODE = old
+
+    a, b = outs["gather"], outs["scan"]
+    np.testing.assert_array_equal(np.asarray(a.aligned_gid), np.asarray(b.aligned_gid))
+    np.testing.assert_array_equal(np.asarray(a.aligned_emit), np.asarray(b.aligned_emit))
+    np.testing.assert_array_equal(np.asarray(a.aligned_rank), np.asarray(b.aligned_rank))
+    np.testing.assert_array_equal(np.asarray(a.tile_counts), np.asarray(b.tile_counts))
+    np.testing.assert_array_equal(np.asarray(a.seg_start), np.asarray(b.seg_start))
+    assert int(a.num_instances) == int(b.num_instances) > 0

@@ -275,10 +275,14 @@ def section_binning():
 
     binned = jax.jit(lambda p: B.bin_gaussians(p, H, W, cfg, aligned=True))(prep)
 
-    def whole(prep):
-        return B.bin_gaussians(prep, H, W, cfg, aligned=True)
+    for mode in ("gather", "scan"):
+        B.EXPAND_MODE = mode
 
-    timed(whole, (prep,), name="bin_gaussians aligned (whole)")
+        def whole(prep, _m=mode):
+            return B.bin_gaussians(prep, H, W, cfg, aligned=True)
+
+        timed(whole, (prep,), name=f"bin_gaussians whole ({mode})")
+    B.EXPAND_MODE = "gather"
     print(f"num_instances {int(binned.num_instances)} / cap {cap}", flush=True)
 
 

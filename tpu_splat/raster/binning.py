@@ -67,6 +67,12 @@ class Binned(NamedTuple):
 
 INSTANCE_ALIGN = 128  # kernels/tile_blend.py CI (lane-tile aligned)
 
+# expansion formulation: "gather" = mark+cumsum+cummax+[cap,2] row gather
+# (the gather is ~16 ms at bench scale, per-row-latency bound); "scan" =
+# scatter run-start values + hold-last associative scans (gather-free).
+# Module-level so the on-device profiler can flip it; both are exact.
+EXPAND_MODE = "gather"
+
 
 def _expand_by_offsets(offsets: jnp.ndarray, n_out: int) -> jnp.ndarray:
     """Scan-based expand: given nondecreasing exclusive range starts
@@ -124,15 +130,7 @@ def bin_gaussians(
     scat_idx = jnp.where(
         (area_o > 0) & (offsets < cap), offsets, cap + rank_ids
     )
-    mark = (
-        jnp.zeros((cap + P_ + 1,), jnp.int32)
-        .at[scat_idx]
-        .add(1, indices_are_sorted=True, unique_indices=True)
-    )
-    gsel = jnp.cumsum(mark[:cap]) - 1  # [cap] depth rank per slot
     i = jnp.arange(cap, dtype=jnp.int32)
-    start_pos = jax.lax.cummax(jnp.where(mark[:cap] > 0, i, 0))
-    j = i - start_pos  # linear index within the Gaussian's tile rect
     rw_col = jnp.maximum(
         prep.rect_max[gorder][:, 0] - prep.rect_min[gorder][:, 0], 1
     )
@@ -141,13 +139,54 @@ def bin_gaussians(
         | (prep.rect_min[gorder][:, 1] << 10)
         | (rw_col << 20)
     )
-    rows = jnp.stack([packed, gorder], axis=1)[gsel]  # [cap, 2] row gather
+    if EXPAND_MODE == "scan":
+        # gather-free expansion: scatter run-start values (flag in bit 31)
+        # and propagate forward with a hold-last associative scan — three
+        # scans replace mark+cumsum+cummax+row-gather (the [cap, 2] gather
+        # alone is ~16 ms at bench scale, per-row-latency bound)
+        FLAG = jnp.int32(-(2**31))
+
+        def propagate(vals):  # [P] i32 in [0, 2^30) -> [cap] hold-last
+            arr = (
+                jnp.zeros((cap + P_ + 1,), jnp.int32)
+                .at[scat_idx]
+                .set(vals | FLAG, indices_are_sorted=True, unique_indices=True)
+            )
+            out = jax.lax.associative_scan(
+                lambda a, b: jnp.where(b < 0, b, a), arr[:cap]
+            )
+            return out & ~FLAG
+
+        rect_s = propagate(packed)
+        gid_s = propagate(gorder)
+        # rank and run-start share one column: offsets fits 22 bits and
+        # rank 20 bits would overflow together; propagate offsets and
+        # recover rank via a cumsum-free trick is not available, so rank
+        # rides its own scan
+        rank_s = propagate(rank_ids)
+        off_s = propagate(offsets)
+        gsel = rank_s
+        j = i - off_s
+        rows0 = rect_s
+        rows1 = gid_s
+    else:
+        mark = (
+            jnp.zeros((cap + P_ + 1,), jnp.int32)
+            .at[scat_idx]
+            .add(1, indices_are_sorted=True, unique_indices=True)
+        )
+        gsel = jnp.cumsum(mark[:cap]) - 1  # [cap] depth rank per slot
+        start_pos = jax.lax.cummax(jnp.where(mark[:cap] > 0, i, 0))
+        j = i - start_pos  # linear index within the Gaussian's tile rect
+        rows = jnp.stack([packed, gorder], axis=1)[gsel]  # [cap, 2] gather
+        rows0 = rows[:, 0]
+        rows1 = rows[:, 1]
     slot_valid = i < jnp.minimum(total, cap)
-    rw = rows[:, 0] >> 20
-    tx = (rows[:, 0] & 0x3FF) + j % rw
-    ty = ((rows[:, 0] >> 10) & 0x3FF) + j // rw
+    rw = jnp.maximum(rows0 >> 20, 1)
+    tx = (rows0 & 0x3FF) + j % rw
+    ty = ((rows0 >> 10) & 0x3FF) + j // rw
     inst_tile = jnp.where(slot_valid, ty * tiles_x + tx, n_tiles)
-    inst_gid = jnp.where(slot_valid, rows[:, 1], 0)
+    inst_gid = jnp.where(slot_valid, rows1, 0)
 
     # 3. per-tile counts from a SINGLE-KEY sort of the tile ids (payload-free
     # — the aligned path below does its own payload sort, so this stays 1
