@@ -315,15 +315,17 @@ def test_binning_expand_modes_identical():
     from tpu_splat.raster import binning as B
     from tpu_splat.raster.binning import bin_gaussians
 
-    act, cam = _scene(n=150, seed=3)
+    # n=900 overflows max_instances=4096 so the capacity-truncation path is
+    # compared across modes too
+    act, cam = _scene(n=900, seed=3)
     prep = preprocess(
         act["means3d"], act["scales"], act["rotations"], cam.world_view,
         cam.full_proj, cam.camera_center, H, W,
-        colors=jnp.zeros((150, 3)),
+        colors=jnp.zeros((900, 3)),
     )
 
     outs = {}
-    for mode in ("gather", "scan"):
+    for mode in ("gather", "scan", "kernel"):
         old = B.EXPAND_MODE
         B.EXPAND_MODE = mode
         try:
@@ -335,10 +337,23 @@ def test_binning_expand_modes_identical():
         finally:
             B.EXPAND_MODE = old
 
-    a, b = outs["gather"], outs["scan"]
-    np.testing.assert_array_equal(np.asarray(a.aligned_gid), np.asarray(b.aligned_gid))
-    np.testing.assert_array_equal(np.asarray(a.aligned_emit), np.asarray(b.aligned_emit))
-    np.testing.assert_array_equal(np.asarray(a.aligned_rank), np.asarray(b.aligned_rank))
-    np.testing.assert_array_equal(np.asarray(a.tile_counts), np.asarray(b.tile_counts))
-    np.testing.assert_array_equal(np.asarray(a.seg_start), np.asarray(b.seg_start))
-    assert int(a.num_instances) == int(b.num_instances) > 0
+    a = outs["gather"]
+    assert int(a.num_instances) > 0
+    for mode in ("scan", "kernel"):
+        b = outs[mode]
+        np.testing.assert_array_equal(
+            np.asarray(a.aligned_gid), np.asarray(b.aligned_gid)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.aligned_emit), np.asarray(b.aligned_emit)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.aligned_rank), np.asarray(b.aligned_rank)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.tile_counts), np.asarray(b.tile_counts)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.seg_start), np.asarray(b.seg_start)
+        )
+        assert int(a.num_instances) == int(b.num_instances)

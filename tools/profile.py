@@ -140,14 +140,17 @@ def section_stages():
     sh = jnp.concatenate([state.features_dc, state.features_rest], axis=1)
     capacity = state.capacity
 
-    def stage_prep(xyz, scales, rot):
+    # NOTE: every stage fn takes its big arrays as ARGUMENTS — a closed-over
+    # jax.Array is embedded as an MLIR constant (host fetch of the whole
+    # buffer), which stalls and can kill the axon tunnel at these sizes.
+    def stage_prep(xyz, scales, rot, sh):
         return preprocess(
             xyz, scales, rot, cam.world_view, cam.full_proj, cam.camera_center,
             H, W, sh=sh, sh_degree=3,
         )
 
-    prep = jax.jit(stage_prep)(state.xyz, scales, state.rotation)
-    timed(stage_prep, (state.xyz, scales, state.rotation), name="preprocess")
+    prep = jax.jit(stage_prep)(state.xyz, scales, state.rotation, sh)
+    timed(stage_prep, (state.xyz, scales, state.rotation, sh), name="preprocess")
 
     def stage_bin(prep):
         return bin_gaussians(prep, H, W, cfg, aligned=True)
@@ -157,14 +160,15 @@ def section_stages():
 
     scope = jnp.ones((capacity,), bool)
 
-    def stage_pack(prep, binned):
+    def stage_pack(prep, binned, opacity, refl, scope):
         return pack_features(
             binned.aligned_gid, binned.aligned_valid, prep.hom, prep.xy,
             opacity, prep.normal_view, prep.color, refl, scope,
         )
 
-    feats = jax.jit(stage_pack)(prep, binned)
-    timed(stage_pack, (prep, binned), name="pack_features")
+    feats = jax.jit(stage_pack)(prep, binned, opacity, refl, scope)
+    timed(stage_pack, (prep, binned, opacity, refl, scope),
+          name="pack_features")
 
     ty, tx = tile_grid(H, W)
     t_ids = jnp.arange(ty * tx, dtype=jnp.int32)
@@ -173,56 +177,62 @@ def section_stages():
     al = binned.aligned_starts
     counts = binned.tile_counts
 
-    def stage_blend(feats):
+    def stage_blend(feats, al, counts):
         return tile_blend_forward(feats, al, counts, org_x, org_y)
 
-    out_px, _ = jax.jit(stage_blend)(feats)
-    timed(stage_blend, (feats,), name="tile_blend fwd (full)")
+    out_px, _ = jax.jit(stage_blend)(feats, al, counts)
+    timed(stage_blend, (feats, al, counts), name="tile_blend fwd (full)")
 
-    def stage_blend_ts(feats):
+    def stage_blend_ts(feats, al, counts):
         return tile_blend_forward(
             feats, al, counts, org_x, org_y, train_shape=True
         )
 
-    jax.jit(stage_blend_ts)(feats)
-    timed(stage_blend_ts, (feats,), name="tile_blend fwd (train-shape)")
+    jax.jit(stage_blend_ts)(feats, al, counts)
+    timed(stage_blend_ts, (feats, al, counts),
+          name="tile_blend fwd (train-shape)")
 
     ct = jax.tree.map(jnp.ones_like, out_px)
 
-    def stage_bwd(feats, out_px):
+    def stage_bwd(feats, out_px, ct, al, counts):
         return tile_blend_backward(feats, al, counts, org_x, org_y, out_px, ct)
 
-    jax.jit(stage_bwd)(feats, out_px)
-    timed(stage_bwd, (feats, out_px), name="tile_blend bwd (full)")
+    jax.jit(stage_bwd)(feats, out_px, ct, al, counts)
+    timed(stage_bwd, (feats, out_px, ct, al, counts),
+          name="tile_blend bwd (full)")
 
-    def stage_bwd_ts(feats, out_px):
+    def stage_bwd_ts(feats, out_px, ct, al, counts):
         return tile_blend_backward(
             feats, al, counts, org_x, org_y, out_px, ct, full_grads=False
         )
 
-    jax.jit(stage_bwd_ts)(feats, out_px)
-    timed(stage_bwd_ts, (feats, out_px), name="tile_blend bwd (train-shape)")
+    jax.jit(stage_bwd_ts)(feats, out_px, ct, al, counts)
+    timed(stage_bwd_ts, (feats, out_px, ct, al, counts),
+          name="tile_blend bwd (train-shape)")
 
     from tpu_splat.raster.blend import blend_pallas
 
-    def stage_blend_pallas(prep, binned):
+    def stage_blend_pallas(prep, binned, opacity, refl, scope):
         return blend_pallas(
             binned, prep.hom, prep.xy, opacity, prep.normal_view, prep.color,
             refl, scope, bg, H, W, full_grads=False,
         )
 
-    jax.jit(stage_blend_pallas)(prep, binned)
-    timed(stage_blend_pallas, (prep, binned),
+    jax.jit(stage_blend_pallas)(prep, binned, opacity, refl, scope)
+    timed(stage_blend_pallas, (prep, binned, opacity, refl, scope),
           name="blend_pallas whole (pack+kern+gw)")
 
-    def stage_raster_fwd(xyz, scales, rot):
+    def stage_raster_fwd(xyz, scales, rot, sh, opacity, refl, alive):
         return rasterize(
             xyz, scales, rot, opacity, refl, cam, bg, cfg,
-            sh=sh, sh_degree=3, alive=state.alive,
+            sh=sh, sh_degree=3, alive=alive,
         )
 
-    timed(stage_raster_fwd, (state.xyz, scales, state.rotation),
-          name="rasterize fwd (full)")
+    timed(
+        stage_raster_fwd,
+        (state.xyz, scales, state.rotation, sh, opacity, refl, state.alive),
+        name="rasterize fwd (full)",
+    )
 
 
 def section_binning():
@@ -235,11 +245,11 @@ def section_binning():
     scales = jnp.exp(state.scaling)
     sh = jnp.concatenate([state.features_dc, state.features_rest], axis=1)
     prep = jax.jit(
-        lambda xyz, s, r: preprocess(
+        lambda xyz, s, r, sh: preprocess(
             xyz, s, r, cam.world_view, cam.full_proj, cam.camera_center,
             H, W, sh=sh, sh_degree=3,
         )
-    )(state.xyz, scales, state.rotation)
+    )(state.xyz, scales, state.rotation, sh)
 
     from tpu_splat.raster.config import tile_grid
 

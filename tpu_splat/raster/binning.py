@@ -69,9 +69,12 @@ INSTANCE_ALIGN = 128  # kernels/tile_blend.py CI (lane-tile aligned)
 
 # expansion formulation: "gather" = mark+cumsum+cummax+[cap,2] row gather
 # (the gather is ~16 ms at bench scale, per-row-latency bound); "scan" =
-# scatter run-start values + hold-last associative scans (gather-free).
-# Module-level so the on-device profiler can flip it; both are exact.
-EXPAND_MODE = "gather"
+# scatter run-start values + hold-last associative scans (gather-free);
+# "kernel" = the Pallas run-decode (kernels/run_expand.py): one
+# bandwidth-bound pass producing all expansion columns + j at once
+# (requires cap % 4096 == 0; falls back to "gather" otherwise).
+# Module-level so the on-device profiler can flip it; all are exact.
+EXPAND_MODE = "kernel"
 
 
 def _expand_by_offsets(offsets: jnp.ndarray, n_out: int) -> jnp.ndarray:
@@ -139,7 +142,47 @@ def bin_gaussians(
         | (prep.rect_min[gorder][:, 1] << 10)
         | (rw_col << 20)
     )
-    if EXPAND_MODE == "scan":
+    mode = EXPAND_MODE
+    if mode == "kernel":
+        from tpu_splat.kernels.run_expand import BLK as _EXPAND_BLK
+
+        if cap % _EXPAND_BLK:
+            mode = "gather"
+    if mode == "kernel":
+        from tpu_splat.kernels.run_expand import run_expand
+
+        # run-decode kernel: expand [rx, ry, rw, gid, rank] per depth rank
+        # to per-slot rows in one pass; j comes back alongside. Integer
+        # columns are exact in f32 (all < 2^23).
+        mark = (
+            jnp.zeros((cap + P_ + 1,), jnp.int32)
+            .at[scat_idx]
+            .add(1, indices_are_sorted=True, unique_indices=True)
+        )
+        gsel_full = jnp.cumsum(mark[:cap]) - 1
+        r0_sub = jnp.maximum(gsel_full[::128], 0)
+        tab = jnp.stack(
+            [
+                prep.rect_min[gorder][:, 0].astype(jnp.float32),
+                prep.rect_min[gorder][:, 1].astype(jnp.float32),
+                rw_col.astype(jnp.float32),
+                gorder.astype(jnp.float32),
+                rank_ids.astype(jnp.float32),
+            ],
+            axis=1,
+        )
+        rows, j = run_expand(
+            tab, jnp.minimum(offsets, cap), jnp.minimum(total, cap),
+            r0_sub, cap,
+        )
+        slot_valid = i < jnp.minimum(total, cap)
+        rw = jnp.maximum(rows[:, 2].astype(jnp.int32), 1)
+        tx = rows[:, 0].astype(jnp.int32) + j % rw
+        ty = rows[:, 1].astype(jnp.int32) + j // rw
+        inst_tile = jnp.where(slot_valid, ty * tiles_x + tx, n_tiles)
+        inst_gid = jnp.where(slot_valid, rows[:, 3].astype(jnp.int32), 0)
+        gsel = rows[:, 4].astype(jnp.int32)
+    elif mode == "scan":
         # gather-free expansion: scatter run-start values (flag in bit 31)
         # and propagate forward with a hold-last associative scan — three
         # scans replace mark+cumsum+cummax+row-gather (the [cap, 2] gather
@@ -181,12 +224,13 @@ def bin_gaussians(
         rows = jnp.stack([packed, gorder], axis=1)[gsel]  # [cap, 2] gather
         rows0 = rows[:, 0]
         rows1 = rows[:, 1]
-    slot_valid = i < jnp.minimum(total, cap)
-    rw = jnp.maximum(rows0 >> 20, 1)
-    tx = (rows0 & 0x3FF) + j % rw
-    ty = ((rows0 >> 10) & 0x3FF) + j // rw
-    inst_tile = jnp.where(slot_valid, ty * tiles_x + tx, n_tiles)
-    inst_gid = jnp.where(slot_valid, rows1, 0)
+    if mode != "kernel":
+        slot_valid = i < jnp.minimum(total, cap)
+        rw = jnp.maximum(rows0 >> 20, 1)
+        tx = (rows0 & 0x3FF) + j % rw
+        ty = ((rows0 >> 10) & 0x3FF) + j // rw
+        inst_tile = jnp.where(slot_valid, ty * tiles_x + tx, n_tiles)
+        inst_gid = jnp.where(slot_valid, rows1, 0)
 
     # 3. per-tile counts from a SINGLE-KEY sort of the tile ids (payload-free
     # — the aligned path below does its own payload sort, so this stays 1
