@@ -357,3 +357,49 @@ def test_binning_expand_modes_identical():
             np.asarray(a.seg_start), np.asarray(b.seg_start)
         )
         assert int(a.num_instances) == int(b.num_instances)
+
+
+def test_tight_culling_parity_bound():
+    """PARITY.md D2: per-column tight binning (3-sigma conic y-extent per
+    tile column) vs the per-axis AABB rect. Dropped contributions satisfy
+    rho > 9 => alpha <= opacity*e^-4.5; bound the per-pixel image deltas
+    on an adversarial anisotropic near-opaque load. The MEDIAN-depth
+    channel is knife-edge by construction (T>0.5 crossing can flip) and is
+    excluded — it is unused by training (depth_ratio=0)."""
+    import dataclasses
+    import jax
+    from tpu_splat.raster import rasterize
+
+    rng = np.random.default_rng(5)
+    n = 220
+    xyz = jnp.asarray(rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32))
+    scales = jnp.asarray(
+        np.exp(rng.normal(-2.2, 0.8, (n, 2))).astype(np.float32)
+    ).at[:, 0].mul(6.0)
+    rot = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    op = jnp.asarray(rng.uniform(0.5, 1.0, n).astype(np.float32))
+    refl = jnp.zeros(n)
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    cam = orbit_camera(H, W, radius=4.0)
+    bg = jnp.zeros(3)
+
+    base = RasterConfig(
+        max_tiles_per_gaussian=16, max_instances=8192, tile_depth=256,
+        chunk=16, backend="pallas",
+    )
+    cfg_t = dataclasses.replace(base, tight_culling=True)
+
+    def run(cfg):
+        return jax.jit(
+            lambda: rasterize(
+                xyz, scales, rot, op, refl, cam, bg, cfg, colors=colors
+            )
+        )()
+
+    a, b = run(base), run(cfg_t)
+    assert int(b.num_instances) < int(a.num_instances)  # it actually culls
+    assert float(jnp.abs(a.color - b.color).max()) <= 0.02
+    assert float(jnp.abs(a.refl_map - b.refl_map).max()) <= 0.02
+    keep = [0, 1, 2, 3, 4, 7]  # depth/alpha/normal/mask; 5=median 6=dist
+    d = jnp.abs(a.others[..., keep] - b.others[..., keep])
+    assert float(d.max()) <= 0.03, float(d.max())

@@ -285,15 +285,28 @@ def section_binning():
 
     binned = jax.jit(lambda p: B.bin_gaussians(p, H, W, cfg, aligned=True))(prep)
 
-    for mode in ("gather", "scan"):
+    for mode in ("gather", "kernel"):
         B.EXPAND_MODE = mode
 
         def whole(prep, _m=mode):
             return B.bin_gaussians(prep, H, W, cfg, aligned=True)
 
         timed(whole, (prep,), name=f"bin_gaussians whole ({mode})")
-    B.EXPAND_MODE = "gather"
-    print(f"num_instances {int(binned.num_instances)} / cap {cap}", flush=True)
+    B.EXPAND_MODE = "kernel"
+    import dataclasses
+
+    cfg_t = dataclasses.replace(cfg, tight_culling=True)
+
+    def whole_tight(prep):
+        return B.bin_gaussians(prep, H, W, cfg_t, aligned=True)
+
+    bt = jax.jit(whole_tight)(prep)
+    timed(whole_tight, (prep,), name="bin_gaussians whole (tight)")
+    print(
+        f"num_instances rect {int(binned.num_instances)} "
+        f"tight {int(bt.num_instances)} / cap {cap}",
+        flush=True,
+    )
 
 
 def section_regroup():

@@ -3,23 +3,27 @@
 The binning expansion ("duplicateWithKeys", rasterizer_impl.cu:70-111)
 maps every emission slot i in [0, total) to its covering run r (the depth
 rank with offsets[r] <= i < offsets[r+1]) and needs that run's table row
-(rect coords, gaussian id, ...) plus the linear index j = i - offsets[r].
-The XLA formulations are either a [cap, K] row gather (per-row-latency
-bound: ~16 ms for K=2 at 4M slots on v5e) or K hold-last associative scans
-(~1.2 ms each plus scatters). This kernel does the whole decode in ONE
-bandwidth-bound pass by exploiting the run structure:
+(rect coords, gaussian id, conic params, ...) plus the linear index
+j = i - offsets[r]. The XLA formulations are either a [cap, K] row gather
+(per-row-latency bound: ~16 ms for K=2 at 4M slots on v5e) or K hold-last
+associative scans (~1.2 ms each plus scatters). This kernel does the whole
+decode in ONE bandwidth-bound pass by exploiting the run structure:
 
 - every run in the emitting prefix has length >= 1, so any 128-slot
   window of emission space spans at most 128 CONSECUTIVE runs starting at
-  rank_at(window start). Those per-sub-block rank starts (r0_sub, one
-  mark-scatter + cumsum + stride slice outside the kernel) arrive via an
-  SMEM block; per grid step ONE DMA fetches the table / offsets windows
-  covering all SUB sub-blocks;
-- per sub-block: onehot[k, j] = (off[r+k] <= i_j < off[r+k+1]) over its
-  136-row rank window (an 8-aligned dynamic sublane slice of the step
-  slab), then rows_out = onehot^T @ table_window on the MXU (exact-01
-  3-way bf16 split: exact for f32 payloads and integers up to ~2^23
-  stored as f32); j = i - onehot^T @ offsets rides in the last column.
+  rank_at(window start); those per-sub-block rank starts (r0_sub, one
+  mark-scatter + cumsum + stride slice outside) ride scalar prefetch;
+- Mosaic DMAs want 128-lane-aligned slabs, so the table is LANE-PACKED:
+  k = 128/kmax logical rows per physical row ([Ppk, 128] f32), with the
+  run offsets riding as the table's last two columns (off_lo, off_hi) so
+  every in-kernel lane slice is static. One DMA per grid step fetches the
+  window covering all SUB sub-blocks;
+- per sub-block and phase s in [0, k): onehot_s[p, j] =
+  (off_lo[p,s] <= i_j < off_hi[p,s]) over an 8-aligned dynamic SUBLANE
+  slice of the step slab, then rows += onehot_s^T @ slab_s on the MXU
+  (exact-01 3-way bf16 split: bit-exact for f32 payloads and integers
+  < 2^23 stored as f32). Runs match uniquely (offsets ascending), so
+  window slack rows are harmless. j = i - sum_s onehot_s^T @ off_lo_s.
 
 Slots past the last run (i >= total) decode to all-zero rows with j = i
 (callers mask by slot validity, as with the gather formulation).
@@ -35,8 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 SUB = 32  # 128-slot sub-blocks per grid step
 BLK = SUB * 128  # slots per grid step
-WIN = BLK + 136  # table rows per step window (rank span <= BLK, +align slack)
-KMAX = 8  # table columns (last column carries j)
+WIN = BLK + 512  # logical rows per step window (BLK+127 span + subw*k slack)
 
 
 def _split3(x):
@@ -47,13 +50,14 @@ def _split3(x):
     return h, m, l
 
 
-def _dot01_k(onehot, b):
-    """[R, M] x [R, K] -> [M, K] (contract dim 0) with exact-01 3-way split."""
+def _dot01_k(vals, onehot):
+    """[R, K] x [R, M] -> [K, M] (contract dim 0; onehot is exact 0/1) with
+    the exact-01 3-way bf16 split of the f32 values."""
     a16 = onehot.astype(jnp.bfloat16)
     out = None
-    for part in _split3(b):
+    for part in _split3(vals):
         d = jax.lax.dot_general(
-            a16, part, (((0,), (0,)), ((), ())),
+            part, a16, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         out = d if out is None else out + d
@@ -61,120 +65,134 @@ def _dot01_k(onehot, b):
 
 
 def _run_expand_kernel(
-    r0_step_ref,  # [S] i32 scalar prefetch: 8-aligned window base rank
+    r0_step_ref,  # [S] i32 scalar prefetch: 128-aligned window base rank
     r0_sub_ref,  # [S * SUB] i32 scalar prefetch: rank at each sub-block start
-    table_ref,  # [Pp, KMAX] f32 ANY
-    off_lo_ref,  # [Pp, 1] i32 ANY (offsets)
-    off_hi_ref,  # [Pp, 1] i32 ANY (offsets shifted by one)
-    out_ref,  # block (BLK, KMAX) f32: expanded rows; col KMAX-1 = j
-    tslab,  # VMEM (WIN, KMAX) f32
-    lslab,  # VMEM (WIN, 1) i32
-    hslab,  # VMEM (WIN, 1) i32
+    packed_ref,  # [Ppk, 128] f32 ANY: lane-packed table (k rows / phys row)
+    out_ref,  # block (kmax, BLK) f32 feature-major; row kmax-1 = j
+    tslab,  # VMEM (WINP, 128) f32
     t_sem,
-    l_sem,
-    h_sem,
+    *,
+    kmax: int,
+    subw: int,
 ):
+    k = 128 // kmax
+    winp = WIN // k
     s = pl.program_id(0)
-    base = r0_step_ref[s]
+    base = r0_step_ref[s]  # logical, multiple of 128
+    pbase = base // k  # physical, multiple of 128//k >= 8
 
-    tc = pltpu.make_async_copy(table_ref.at[pl.ds(base, WIN), :], tslab, t_sem)
-    lc = pltpu.make_async_copy(off_lo_ref.at[pl.ds(base, WIN), :], lslab, l_sem)
-    hc = pltpu.make_async_copy(off_hi_ref.at[pl.ds(base, WIN), :], hslab, h_sem)
-    tc.start()
-    lc.start()
-    hc.start()
-    lc.wait()
-    hc.wait()
-    tc.wait()
+    cp = pltpu.make_async_copy(
+        packed_ref.at[pl.ds(pl.multiple_of(pbase, 8), winp), :], tslab, t_sem
+    )
+    cp.start()
+    cp.wait()
 
     i_base = s * BLK
     for b in range(SUB):
         i0 = i_base + b * 128
-        rel8 = ((r0_sub_ref[s * SUB + b] - base) // 8) * 8  # dynamic, 8-aligned
-        lo = lslab[pl.ds(rel8, 136), :]  # [136, 1] i32
-        hi = hslab[pl.ds(rel8, 136), :]
-        ii = i0 + jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)  # [1, 128]
-        onehot = ((lo <= ii) & (ii < hi)).astype(jnp.float32)  # [136, 128]
-        tw = tslab[pl.ds(rel8, 136), :]  # [136, KMAX]
-        rows = _dot01_k(onehot, tw)  # [128, KMAX]
-        osel = _dot01_k(onehot, lo.astype(jnp.float32))  # [128, 1]
-        j = ii.reshape(128, 1).astype(jnp.float32) - osel
-        rows = jnp.concatenate([rows[:, : KMAX - 1], j], axis=1)
-        out_ref[pl.ds(b * 128, 128), :] = rows
+        rel = r0_sub_ref[s * SUB + b] - base  # logical, >= 0
+        rp8 = ((rel // k) // 8) * 8  # 8-aligned physical sub-window start
+        sub = tslab[pl.ds(rp8, subw), :]  # [subw, 128]
+        ii = i0 + jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        iif = ii.astype(jnp.float32)
+        rows_T = None  # [kmax, 128] feature-major (no transposes anywhere)
+        osel = None  # [1, 128]
+        for ph in range(k):
+            lo = sub[:, ph * kmax + kmax - 2 : ph * kmax + kmax - 1]
+            hi = sub[:, ph * kmax + kmax - 1 : ph * kmax + kmax]
+            oh = ((lo <= iif) & (iif < hi)).astype(jnp.float32)  # [subw, 128]
+            pr = _dot01_k(sub[:, ph * kmax : ph * kmax + kmax], oh)
+            ps = _dot01_k(lo, oh)
+            rows_T = pr if rows_T is None else rows_T + pr
+            osel = ps if osel is None else osel + ps
+        j = iif - osel  # [1, 128]
+        out_ref[:, pl.ds(b * 128, 128)] = jnp.concatenate(
+            [rows_T[: kmax - 1, :], j], axis=0
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("n_out", "interpret"))
 def run_expand(
     table: jnp.ndarray,  # [P, K] f32 per-run rows (ints as exact f32 < 2^23)
-    offsets: jnp.ndarray,  # [P] i32 ascending exclusive run starts
+    offsets: jnp.ndarray,  # [P] i32 ascending exclusive run starts (< 2^23)
     total: jnp.ndarray,  # [] i32 total slots (terminates the last run)
     r0_sub: jnp.ndarray,  # [n_out // 128] i32 rank at each 128-slot boundary
     n_out: int,  # static slot capacity (multiple of BLK)
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """-> (rows [n_out, K] f32, j [n_out] i32). rows[i] = table[run(i)],
-    j[i] = i - offsets[run(i)]; zero rows / j = i past the last run.
+    """-> (rows [K, n_out] f32 FEATURE-MAJOR, j [n_out] i32).
+    rows[:, i] = table[run(i)], j[i] = i - offsets[run(i)]; zero rows /
+    j = i past the last run.
 
     Requires: every run below `total` has length >= 1 (depth ranks with
     zero-area Gaussians pushed past the emitting prefix — what
-    bin_gaussians' argsort produces), and r0_sub[k] = the rank covering
-    slot 128*k (e.g. cumsum-of-marks sliced at stride 128)."""
+    bin_gaussians' argsort produces), and r0_sub[m] = the rank covering
+    slot 128*m (e.g. cumsum-of-marks sliced at stride 128)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     P_, K = table.shape
-    if K > KMAX - 1:
-        raise ValueError(f"run_expand supports K <= {KMAX - 1}, got {K}")
+    kmax = 8 if K <= 6 else 16
+    if K > kmax - 2:
+        raise ValueError(f"run_expand supports K <= 14, got {K}")
     if n_out % BLK:
         raise ValueError(f"n_out must be a multiple of {BLK}, got {n_out}")
     S = n_out // BLK
+    k = 128 // kmax
+    subw = 8 * -(-(136 // k + 9) // 8)  # 8-aligned sub-window phys rows
 
-    table = table.astype(jnp.float32)
-    if K < KMAX:
-        table = jnp.pad(table, ((0, 0), (0, KMAX - K)))
-    pad_rows = WIN + 16
-    table = jnp.pad(table, ((0, pad_rows), (0, 0)))
-    offp = jnp.concatenate(
-        [offsets.astype(jnp.int32), jnp.full((pad_rows,), 1 << 30, jnp.int32)]
+    # augment: user cols, zero pad, off_lo, off_hi (f32-exact ints)
+    offsets = offsets.astype(jnp.int32)
+    off_lo = jnp.minimum(offsets, 1 << 23).astype(jnp.float32)
+    off_hi = jnp.concatenate(
+        [offsets[1:], jnp.full((1,), 1 << 23, jnp.int32)]
     )
-    # the sentinel `total` terminates the last real run; rows at and past
-    # P_ keep offset 2^30 so they never match
-    offp = offp.at[P_].set(jnp.asarray(total, jnp.int32))
-    off_lo = offp[:-1]
-    off_hi = offp[1:]
+    # the sentinel `total` terminates the last real run
+    off_hi = jnp.minimum(
+        jnp.where(jnp.arange(P_) == P_ - 1, total, off_hi), 1 << 23
+    ).astype(jnp.float32)
+    aug = jnp.concatenate(
+        [
+            table.astype(jnp.float32),
+            jnp.zeros((P_, kmax - 2 - K), jnp.float32),
+            off_lo[:, None],
+            off_hi[:, None],
+        ],
+        axis=1,
+    )  # [P, kmax]
+    # pad rows so every window DMA stays in bounds; pad off cols never match
+    pad_rows = WIN + 128 + ((-(P_ + WIN + 128)) % 128)
+    pad = jnp.zeros((pad_rows, kmax), jnp.float32)
+    pad = pad.at[:, kmax - 2 :].set(jnp.float32(1 << 23))
+    aug = jnp.concatenate([aug, pad], axis=0)
+    Pp = aug.shape[0]
+    packed = aug.reshape(Pp // k, 128)
 
     r0 = jnp.clip(r0_sub.astype(jnp.int32), 0, P_)
-    r0_step = (r0[::SUB] // 8) * 8
-    r0_pad = ((-r0.shape[0]) % SUB)
-    if r0_pad:
+    r0_step = (r0[::SUB] // 128) * 128
+    if r0.shape[0] != n_out // 128:
         raise ValueError("r0_sub length must be n_out // 128")
 
+    # NOTE: off_hi for the last real run is min(total, off_hi); runs whose
+    # offsets were clamped past 2^23 never match (callers keep caps far
+    # below 2^23 = 8.4M slots).
+
     rows = pl.pallas_call(
-        _run_expand_kernel,
+        functools.partial(_run_expand_kernel, kmax=kmax, subw=subw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(S,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec((BLK, KMAX), lambda s, *_: (s, 0)),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((kmax, BLK), lambda s, *_: (0, s)),
             scratch_shapes=[
-                pltpu.VMEM((WIN, KMAX), jnp.float32),
-                pltpu.VMEM((WIN, 1), jnp.int32),
-                pltpu.VMEM((WIN, 1), jnp.int32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((WIN // k, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_out, KMAX), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((kmax, n_out), jnp.float32),
         interpret=interpret,
     )(
         r0_step.astype(jnp.int32),
         r0,
-        table,
-        off_lo[:, None],
-        off_hi[:, None],
+        packed,
     )
-    return rows[:, :K], rows[:, KMAX - 1].astype(jnp.int32)
+    return rows[:K, :], rows[kmax - 1, :].astype(jnp.int32)

@@ -90,6 +90,108 @@ def _expand_by_offsets(offsets: jnp.ndarray, n_out: int) -> jnp.ndarray:
     return jnp.cumsum(mark[:n_out]) - 1
 
 
+def _conic_column_params(prep: Preprocessed):
+    """Per-Gaussian parameters of the 3-sigma screen conic for per-column
+    y-extent queries: region {rho3d <= CUTOFF^2} = {(x,y): qa x^2 + qb y^2
+    + qc xy + qd x + qe y + qf <= 0}, derived from the same homography the
+    blend kernel uses (p = x*A + y*B + C, rho3d = (p0^2+p1^2)/p2^2 —
+    forward.cu:368-384 in the reference). Returns (ok, xc, yc, alpha,
+    gamma, delta): upper boundary V(u) = alpha*u + sqrt(gamma - delta*u^2)
+    about the center (xc, yc), with ok=False for degenerate conics
+    (camera-plane-crossing splats etc.) which must fall back to the rect."""
+    from tpu_splat.raster.config import CUTOFF
+
+    Tu = prep.hom[:, 0, :]
+    Tv = prep.hom[:, 1, :]
+    Tw = prep.hom[:, 2, :]
+    A = jnp.cross(Tv, Tw)
+    B = jnp.cross(Tw, Tu)
+    C = jnp.cross(Tu, Tv)
+    # scale-invariant: (A,B,C) -> (A,B,C)/n keeps rho3d; normalize so the
+    # quartic combinations below stay in f32 range for tiny splats
+    n = jnp.maximum(
+        jnp.max(jnp.abs(jnp.stack([A, B, C], axis=1)), axis=(1, 2)), 1e-30
+    )[:, None]
+    A, B, C = A / n, B / n, C / n
+    cut = CUTOFF * CUTOFF
+
+    def q2(u, v):
+        return u[:, 0] * v[:, 0] + u[:, 1] * v[:, 1] - cut * u[:, 2] * v[:, 2]
+
+    qa = q2(A, A)
+    qb = q2(B, B)
+    qc = 2.0 * q2(A, B)
+    qd = 2.0 * q2(A, C)
+    qe = 2.0 * q2(B, C)
+    qf = q2(C, C)
+    det = 4.0 * qa * qb - qc * qc
+    ok = (qa > 1e-12) & (qb > 1e-12) & (det > 1e-12)
+    sdet = jnp.where(ok, det, 1.0)
+    xc = (-2.0 * qb * qd + qc * qe) / sdet
+    yc = (-2.0 * qa * qe + qc * qd) / sdet
+    R = -(qf + 0.5 * (qd * xc + qe * yc))
+    ok = ok & (R > 0) & jnp.isfinite(xc) & jnp.isfinite(yc)
+    sqb = jnp.where(ok, qb, 1.0)
+    alpha = jnp.where(ok, -qc / (2.0 * sqb), 0.0)
+    gamma = jnp.where(ok, R / sqb, 0.0)
+    delta = jnp.where(ok, det / (4.0 * sqb * sqb), 1.0)
+    return ok, xc, yc, alpha, gamma, delta
+
+
+def _column_y_range(rows1, j1, tiles_y: int):
+    """Per-column tile-row range from the expanded level-1 table.
+
+    rows1 columns: rx, gid, rank, xc, yc, alpha, gamma, delta, rl.
+    Returns (ix, ty0, cnt_tight) where cnt_tight may be 0 (caller floors
+    to 1 with an out-of-image dummy row to keep the run-expand >=1-length
+    invariant)."""
+    from tpu_splat.raster.config import TILE
+
+    rx = rows1[0].astype(jnp.int32)
+    xc = rows1[3]
+    yc = rows1[4]
+    al = rows1[5]
+    ga = rows1[6]
+    de = jnp.maximum(rows1[7], 1e-20)
+    rl = rows1[8]
+
+    ix = rx + j1
+    u0 = ix.astype(jnp.float32) * TILE - xc
+    u1 = u0 + (TILE - 1)
+    umax = jnp.sqrt(jnp.maximum(ga / de, 0.0))
+    u0c = jnp.maximum(u0, -umax)
+    u1c = jnp.minimum(u1, umax)
+    ell_on = (u0c <= u1c) & (ga > 0)
+    # stationary point of the upper boundary V(u) = al*u + sqrt(ga - de*u^2)
+    ut = jnp.sign(al) * jnp.sqrt(
+        jnp.maximum(al * al * ga / (de * (de + al * al)), 0.0)
+    )
+
+    def V(u):
+        return al * u + jnp.sqrt(jnp.maximum(ga - de * u * u, 0.0))
+
+    y_hi_e = yc + V(jnp.clip(ut, u0c, u1c))
+    y_lo_e = yc - V(jnp.clip(ut, -u1c, -u0c))
+    disk_on = (rl >= 0) & (u1 >= -rl) & (u0 <= rl)
+    big = jnp.float32(3.4e38)
+    y_hi = jnp.maximum(
+        jnp.where(ell_on, y_hi_e, -big), jnp.where(disk_on, yc + rl, -big)
+    )
+    y_lo = jnp.minimum(
+        jnp.where(ell_on, y_lo_e, big), jnp.where(disk_on, yc - rl, big)
+    )
+    any_on = ell_on | disk_on
+    ty0 = jnp.clip(
+        jnp.floor(y_lo / TILE).astype(jnp.int32), 0, tiles_y
+    )
+    ty1 = jnp.clip(
+        jnp.floor(y_hi / TILE).astype(jnp.int32) + 1, 0, tiles_y
+    )
+    cnt = jnp.where(any_on, jnp.maximum(ty1 - ty0, 0), 0)
+    ty0 = jnp.where(cnt > 0, ty0, tiles_y)  # dummy rows key past the image
+    return ix, ty0, cnt
+
+
 def bin_gaussians(
     prep: Preprocessed, height: int, width: int, cfg: RasterConfig,
     pad_tiles_to: int = 1,
@@ -143,11 +245,128 @@ def bin_gaussians(
         | (rw_col << 20)
     )
     mode = EXPAND_MODE
+    cap_cols = cfg.max_columns or cap
+    tight = bool(cfg.tight_culling) and aligned and mode == "kernel"
     if mode == "kernel":
         from tpu_splat.kernels.run_expand import BLK as _EXPAND_BLK
 
         if cap % _EXPAND_BLK:
-            mode = "gather"
+            mode, tight = "gather", False
+        elif tight and cap_cols % _EXPAND_BLK:
+            tight = False
+    seg_start_t = seg_end_t = None
+    num_inst_diag = None
+    max_area_diag = None
+    if tight:
+        # TWO-LEVEL tight expansion: Gaussians -> tile columns (level 1,
+        # area = rect width) -> tiles (level 2, per-column y-extent of the
+        # 3-sigma conic union the low-pass disk). See RasterConfig
+        # .tight_culling for the parity envelope.
+        from tpu_splat.kernels.run_expand import run_expand
+        from tpu_splat.raster.config import CUTOFF, FILTER_SIZE, TILE
+
+        mode = "tight"
+        ok_c, xc_c, yc_c, al_c, ga_c, de_c = _conic_column_params(prep)
+        # degenerate conics fall back to a flat band covering exactly the
+        # rect rows: alpha=0, delta~0, gamma=(half height in px)^2
+        ry0 = prep.rect_min[:, 1].astype(jnp.float32)
+        ry1 = prep.rect_max[:, 1].astype(jnp.float32)
+        mid = (ry0 + ry1) * (TILE / 2.0)
+        halfh = jnp.maximum((ry1 - ry0) * (TILE / 2.0) - 0.5, 0.0)
+        use = ok_c & prep.valid
+        xc_c = jnp.where(use, xc_c, prep.xy[:, 0])
+        yc_c = jnp.where(use, yc_c, mid)
+        al_c = jnp.where(use, al_c, 0.0)
+        ga_c = jnp.where(use, ga_c, halfh * halfh)
+        de_c = jnp.where(use, de_c, 1e-18)
+        rl_c = jnp.where(use, CUTOFF * FILTER_SIZE, -1.0)
+
+        # level 1: expand per-rank conic params to tile columns
+        area1_o = jnp.where(area_o > 0, rw_col, 0)
+        off1 = jnp.cumsum(area1_o) - area1_o
+        total1 = jnp.sum(area1_o)
+        scat1 = jnp.where(
+            (area1_o > 0) & (off1 < cap_cols), off1, cap_cols + rank_ids
+        )
+        mark1 = (
+            jnp.zeros((cap_cols + P_ + 1,), jnp.int32)
+            .at[scat1]
+            .add(1, indices_are_sorted=True, unique_indices=True)
+        )
+        r0_sub1 = jnp.maximum(jnp.cumsum(mark1[:cap_cols])[::128] - 1, 0)
+        tab1 = jnp.stack(
+            [
+                prep.rect_min[gorder][:, 0].astype(jnp.float32),
+                gorder.astype(jnp.float32),
+                rank_ids.astype(jnp.float32),
+                xc_c[gorder],
+                yc_c[gorder],
+                al_c[gorder],
+                ga_c[gorder],
+                de_c[gorder],
+                rl_c[gorder],
+            ],
+            axis=1,
+        )
+        rows1, j1 = run_expand(
+            tab1, jnp.minimum(off1, cap_cols), jnp.minimum(total1, cap_cols),
+            r0_sub1, cap_cols,
+        )
+        icol = jnp.arange(cap_cols, dtype=jnp.int32)
+        col_valid = icol < jnp.minimum(total1, cap_cols)
+        ix, ty0, cnt_t = _column_y_range(rows1, j1, tiles_y)
+        # every REAL column emits >= 1 instance (empty tight ranges emit
+        # one out-of-image dummy row) — keeps run-expand's length>=1
+        # invariant at level 2
+        cnt2 = jnp.where(col_valid, jnp.maximum(cnt_t, 1), 0)
+        off2 = jnp.cumsum(cnt2) - cnt2
+        total2 = jnp.sum(cnt2)
+        scat2 = jnp.where((cnt2 > 0) & (off2 < cap), off2, cap + icol)
+        mark2 = (
+            jnp.zeros((cap + cap_cols + 1,), jnp.int32)
+            .at[scat2]
+            .add(1, indices_are_sorted=True, unique_indices=True)
+        )
+        r0_sub2 = jnp.maximum(jnp.cumsum(mark2[:cap])[::128] - 1, 0)
+        tab2 = jnp.stack(
+            [
+                ix.astype(jnp.float32),
+                ty0.astype(jnp.float32),
+                rows1[1],  # gid
+                rows1[2],  # rank
+            ],
+            axis=1,
+        )
+        rows2, j2 = run_expand(
+            tab2, jnp.minimum(off2, cap), jnp.minimum(total2, cap),
+            r0_sub2, cap,
+        )
+        slot_valid = i < jnp.minimum(total2, cap)
+        ty2 = rows2[1].astype(jnp.int32) + j2
+        inst_tile = jnp.where(
+            slot_valid,
+            ty2 * tiles_x + rows2[0].astype(jnp.int32),
+            n_tiles,
+        )
+        inst_gid = jnp.where(slot_valid, rows2[2].astype(jnp.int32), 0)
+        gsel = rows2[3].astype(jnp.int32)
+        total = total2
+        # per-rank segment bounds: [instances at the rank's first column,
+        # instances at the NEXT rank's first column)
+        off2_ext = jnp.concatenate([off2, total2[None]])
+        segs = jnp.minimum(off2_ext[jnp.minimum(off1, cap_cols)], cap)
+        tot2c = jnp.minimum(total2, cap)
+        vr = area1_o > 0
+        seg_start_t = jnp.where(vr, segs, tot2c).astype(jnp.int32)
+        seg_end_t = jnp.concatenate(
+            [seg_start_t[1:], tot2c[None].astype(jnp.int32)]
+        )
+        seg_end_t = jnp.where(vr, seg_end_t, tot2c).astype(jnp.int32)
+        # column overflow must also trigger capacity growth: report >= cap
+        num_inst_diag = jnp.where(
+            total1 > cap_cols, jnp.maximum(total2, cap), total2
+        )
+        max_area_diag = jnp.max(seg_end_t - seg_start_t)
     if mode == "kernel":
         from tpu_splat.kernels.run_expand import run_expand
 
@@ -176,12 +395,12 @@ def bin_gaussians(
             r0_sub, cap,
         )
         slot_valid = i < jnp.minimum(total, cap)
-        rw = jnp.maximum(rows[:, 2].astype(jnp.int32), 1)
-        tx = rows[:, 0].astype(jnp.int32) + j % rw
-        ty = rows[:, 1].astype(jnp.int32) + j // rw
+        rw = jnp.maximum(rows[2].astype(jnp.int32), 1)
+        tx = rows[0].astype(jnp.int32) + j % rw
+        ty = rows[1].astype(jnp.int32) + j // rw
         inst_tile = jnp.where(slot_valid, ty * tiles_x + tx, n_tiles)
-        inst_gid = jnp.where(slot_valid, rows[:, 3].astype(jnp.int32), 0)
-        gsel = rows[:, 4].astype(jnp.int32)
+        inst_gid = jnp.where(slot_valid, rows[3].astype(jnp.int32), 0)
+        gsel = rows[4].astype(jnp.int32)
     elif mode == "scan":
         # gather-free expansion: scatter run-start values (flag in bit 31)
         # and propagate forward with a hold-last associative scan — three
@@ -212,7 +431,7 @@ def bin_gaussians(
         j = i - off_s
         rows0 = rect_s
         rows1 = gid_s
-    else:
+    elif mode == "gather":
         mark = (
             jnp.zeros((cap + P_ + 1,), jnp.int32)
             .at[scat_idx]
@@ -224,7 +443,7 @@ def bin_gaussians(
         rows = jnp.stack([packed, gorder], axis=1)[gsel]  # [cap, 2] gather
         rows0 = rows[:, 0]
         rows1 = rows[:, 1]
-    if mode != "kernel":
+    if mode in ("scan", "gather"):
         slot_valid = i < jnp.minimum(total, cap)
         rw = jnp.maximum(rows0 >> 20, 1)
         tx = (rows0 & 0x3FF) + j % rw
@@ -317,8 +536,11 @@ def bin_gaussians(
         # values by ONE sort keyed on aligned_emit — emission indices have
         # no gaps below min(total, cap), so post-sort position == emission
         # index and the analytic bounds apply directly.
-        seg_start = jnp.minimum(offsets, cap).astype(jnp.int32)
-        seg_end = jnp.minimum(offsets + area_o, cap).astype(jnp.int32)
+        if seg_start_t is not None:
+            seg_start, seg_end = seg_start_t, seg_end_t
+        else:
+            seg_start = jnp.minimum(offsets, cap).astype(jnp.int32)
+            seg_end = jnp.minimum(offsets + area_o, cap).astype(jnp.int32)
         _, rank_of = jax.lax.sort(
             (gorder, jnp.arange(P_, dtype=jnp.int32)), num_keys=1
         )
@@ -326,8 +548,8 @@ def bin_gaussians(
     return Binned(
         tile_gid=tile_gid,
         tile_mask=tile_mask,
-        num_instances=total,
-        max_area=jnp.max(area),
+        num_instances=num_inst_diag if num_inst_diag is not None else total,
+        max_area=max_area_diag if max_area_diag is not None else jnp.max(area),
         tile_counts=counts[:n_tiles],
         sorted_gid=sorted_gid,
         tile_starts=starts,

@@ -447,20 +447,25 @@ def blend_pallas(
         )(feats, binned.aligned_starts, counts_full, org[:, 0], org[:, 1])
         wmax = jnp.max(wmax_parts, axis=0)
 
-    img = lambda x: _tiles_to_image(x, tiles_y, tiles_x, height, width)
-    Tf = out_px[:, tb.O_T, :]
-    color_img = img(
-        jnp.moveaxis(out_px[:, tb.O_COL : tb.O_COL + 3, :], 1, 2)
-        + Tf[..., None] * bg[None, None, :]
+    # ONE tile->image shuffle for all 16 packed channels (the per-channel
+    # slicing used to launch ~10 separate 8.5 MB transposes fwd + the same
+    # again for their cotangents; this is one 133 MB permute, slices after
+    # it are last-axis views)
+    imgall = _tiles_to_image(
+        jnp.moveaxis(out_px, 1, 2), tiles_y, tiles_x, height, width
+    )  # [H, W, 16]
+    Tf_img = imgall[..., tb.O_T : tb.O_T + 1]
+    color_img = (
+        imgall[..., tb.O_COL : tb.O_COL + 3] + Tf_img * bg[None, None, :]
     )
     others = jnp.concatenate(
         [
-            img(out_px[:, tb.O_DEPTH, :])[..., None],
-            img(1.0 - Tf)[..., None],
-            img(jnp.moveaxis(out_px[:, tb.O_NRM : tb.O_NRM + 3, :], 1, 2)),
-            img(out_px[:, tb.O_MED, :])[..., None],
-            img(out_px[:, tb.O_DIST, :])[..., None],
-            img(out_px[:, tb.O_SCOPE, :])[..., None],
+            imgall[..., tb.O_DEPTH : tb.O_DEPTH + 1],
+            1.0 - Tf_img,
+            imgall[..., tb.O_NRM : tb.O_NRM + 3],
+            imgall[..., tb.O_MED : tb.O_MED + 1],
+            imgall[..., tb.O_DIST : tb.O_DIST + 1],
+            imgall[..., tb.O_SCOPE : tb.O_SCOPE + 1],
         ],
         axis=-1,
     )
@@ -474,8 +479,8 @@ def blend_pallas(
     return BlendOutput(
         color=color_img,
         others=others,
-        refl_map=img(out_px[:, tb.O_REFL, :]),
-        final_T=img(Tf),
-        n_contrib=img(out_px[:, tb.O_NCON, :]).astype(jnp.int32),
+        refl_map=imgall[..., tb.O_REFL],
+        final_T=imgall[..., tb.O_T],
+        n_contrib=imgall[..., tb.O_NCON].astype(jnp.int32),
         gaussian_weights=gw,
     )

@@ -53,6 +53,19 @@ class RasterConfig:
     # validate_e2e with this flag on. Off by default so parity tests measure
     # exact f32 gradients.
     bf16_grads: bool = False
+    # per-tile-COLUMN tight culling: instances are emitted per (Gaussian,
+    # tile column) with the exact y-extent of the 3-sigma conic (union the
+    # low-pass disk) over that column's x-slab, instead of the full
+    # per-axis AABB rect — ~25-40% fewer instances on anisotropic clouds.
+    # Contributions dropped relative to the rect lie outside the 3-sigma
+    # ellipse (alpha < opacity * e^-4.5 ~ 0.011): the same deviation class
+    # as the per-axis AABB vs the reference's circular getRect (PARITY.md
+    # row 2.1). Requires the Pallas binning path (EXPAND_MODE "kernel",
+    # max_instances % 4096 == 0); ignored otherwise.
+    tight_culling: bool = False
+    # level-1 capacity (tile columns) for tight culling; 0 = max_instances
+    # (always sufficient: every column emits >= 1 instance)
+    max_columns: int = 0
 
     def __post_init__(self):
         assert self.tile_depth % self.chunk == 0
