@@ -345,9 +345,6 @@ def test_binning_expand_modes_identical():
             np.asarray(a.aligned_gid), np.asarray(b.aligned_gid)
         )
         np.testing.assert_array_equal(
-            np.asarray(a.aligned_emit), np.asarray(b.aligned_emit)
-        )
-        np.testing.assert_array_equal(
             np.asarray(a.aligned_rank), np.asarray(b.aligned_rank)
         )
         np.testing.assert_array_equal(

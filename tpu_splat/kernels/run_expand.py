@@ -70,6 +70,8 @@ def _run_expand_kernel(
     packed_ref,  # [Ppk, 128] f32 ANY: lane-packed table (k rows / phys row)
     out_ref,  # block (kmax, BLK) f32 feature-major; row kmax-1 = j
     tslab,  # VMEM (WINP, 128) f32
+    vcat,  # VMEM (k*subw, kmax) f32: logically-unpacked sub-window
+    ohcat,  # VMEM (k*subw, 128) f32: onehot, phase-major row order
     t_sem,
     *,
     kmax: int,
@@ -88,27 +90,38 @@ def _run_expand_kernel(
     cp.wait()
 
     i_base = s * BLK
-    for b in range(SUB):
+
+    def sub_block(b, _):
+        # fori_loop (not an unrolled Python loop): 32 unrolled sub-blocks'
+        # temporaries blow the 16M scoped-vmem stack limit
         i0 = i_base + b * 128
         rel = r0_sub_ref[s * SUB + b] - base  # logical, >= 0
         rp8 = ((rel // k) // 8) * 8  # 8-aligned physical sub-window start
         sub = tslab[pl.ds(rp8, subw), :]  # [subw, 128]
         ii = i0 + jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         iif = ii.astype(jnp.float32)
-        rows_T = None  # [kmax, 128] feature-major (no transposes anywhere)
-        osel = None  # [1, 128]
+        # phase-major concatenation into scratch, then ONE batched MXU dot
+        # (per-phase dots are 48 tiny MXU launches per sub-block — launch
+        # overhead dominates; measured 111 ms for the whole binning)
         for ph in range(k):
             lo = sub[:, ph * kmax + kmax - 2 : ph * kmax + kmax - 1]
             hi = sub[:, ph * kmax + kmax - 1 : ph * kmax + kmax]
-            oh = ((lo <= iif) & (iif < hi)).astype(jnp.float32)  # [subw, 128]
-            pr = _dot01_k(sub[:, ph * kmax : ph * kmax + kmax], oh)
-            ps = _dot01_k(lo, oh)
-            rows_T = pr if rows_T is None else rows_T + pr
-            osel = ps if osel is None else osel + ps
-        j = iif - osel  # [1, 128]
+            ohcat[ph * subw : (ph + 1) * subw, :] = (
+                (lo <= iif) & (iif < hi)
+            ).astype(jnp.float32)
+            vcat[ph * subw : (ph + 1) * subw, :] = sub[
+                :, ph * kmax : (ph + 1) * kmax
+            ]
+        rows_T = _dot01_k(vcat[:], ohcat[:])  # [kmax, 128]
+        # off_lo IS table column kmax-2, so the selected run start is
+        # already in rows_T — no second dot needed
+        j = iif - rows_T[kmax - 2 : kmax - 1, :]
         out_ref[:, pl.ds(b * 128, 128)] = jnp.concatenate(
             [rows_T[: kmax - 1, :], j], axis=0
         )
+        return _
+
+    jax.lax.fori_loop(0, SUB, sub_block, None)
 
 
 @functools.partial(jax.jit, static_argnames=("n_out", "interpret"))
@@ -185,6 +198,8 @@ def run_expand(
             out_specs=pl.BlockSpec((kmax, BLK), lambda s, *_: (0, s)),
             scratch_shapes=[
                 pltpu.VMEM((WIN // k, 128), jnp.float32),
+                pltpu.VMEM(((128 // kmax) * subw, kmax), jnp.float32),
+                pltpu.VMEM(((128 // kmax) * subw, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         ),

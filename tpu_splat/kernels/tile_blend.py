@@ -645,19 +645,19 @@ def _unpack_pair_bf16(c):
 @functools.lru_cache(maxsize=None)
 def _make_expand_rows(bf16_pack: bool):
     @jax.custom_vjp
-    def expand_rows(g24, gid, valid, emit_key, rank_of, seg_start, seg_end):
+    def expand_rows(g24, gid, valid, group_key, rank_of, seg_start, seg_end):
         return jnp.where(valid[:, None], g24[gid], 0.0)  # [N_cap, F]
 
-    def fwd(g24, gid, valid, emit_key, rank_of, seg_start, seg_end):
-        out = expand_rows(g24, gid, valid, emit_key, rank_of, seg_start, seg_end)
-        return out, (valid, emit_key, rank_of, seg_start, seg_end)
+    def fwd(g24, gid, valid, group_key, rank_of, seg_start, seg_end):
+        out = expand_rows(g24, gid, valid, group_key, rank_of, seg_start, seg_end)
+        return out, (valid, group_key, rank_of, seg_start, seg_end)
 
     def bwd(res, d_out):
         # Gather-free transpose: ONE variadic sort keyed on the binning's
-        # emission-index payload regroups grad rows per Gaussian (emission
-        # indices are gap-free below min(total, cap), so post-sort position
-        # == emission index and the analytic [seg_start, seg_end) runs
-        # apply). Measured ~2x cheaper than the row-gather-by-permutation
+        # depth-rank payload regroups grad rows per Gaussian (rank-grouped
+        # positions coincide with emission indices, which are gap-free
+        # below min(total, cap), so the analytic [seg_start, seg_end) runs
+        # apply; within-run order is irrelevant to the segment sum). Measured ~2x cheaper than the row-gather-by-permutation
         # alternative (a [4M, 24] f32 row gather runs at ~3 GB/s on v5e;
         # lax.sort moves ~2.3 ms per payload column). Only the F_GRAD
         # columns that can be nonzero (scope and pads never receive
@@ -670,7 +670,7 @@ def _make_expand_rows(bf16_pack: bool):
         # RasterConfig.bf16_grads).
         from tpu_splat.kernels.segment_reduce import segment_sum_ranges
 
-        valid, emit_key, rank_of, seg_start, seg_end = res
+        valid, group_key, rank_of, seg_start, seg_end = res
         F = d_out.shape[1]
         ncols = min(F, F_GRAD)
         if bf16_pack:
@@ -685,7 +685,7 @@ def _make_expand_rows(bf16_pack: bool):
                 )
                 packed.append(_pack_pair_bf16(a, b))
             srt = jax.lax.sort(
-                (emit_key,) + tuple(packed), num_keys=1, is_stable=False
+                (group_key,) + tuple(packed), num_keys=1, is_stable=False
             )
             up = []
             for c in srt[1:]:
@@ -694,7 +694,7 @@ def _make_expand_rows(bf16_pack: bool):
             rows_T = jnp.stack(up[:ncols], axis=0)
         else:
             cols = tuple(d_out[:, i] for i in range(ncols))
-            srt = jax.lax.sort((emit_key,) + cols, num_keys=1, is_stable=False)
+            srt = jax.lax.sort((group_key,) + cols, num_keys=1, is_stable=False)
             rows_T = jnp.stack(srt[1:], axis=0)  # [ncols, cap_al]
         d_part = segment_sum_ranges(rows_T, seg_start, seg_end).T[rank_of]
         d_g24 = jnp.concatenate(
@@ -720,7 +720,7 @@ def pack_features(
     color: jnp.ndarray,
     refl: jnp.ndarray,
     scope_mask: jnp.ndarray,
-    emit_key: jnp.ndarray | None = None,
+    group_key: jnp.ndarray | None = None,
     rank_of: jnp.ndarray | None = None,
     seg_start: jnp.ndarray | None = None,
     seg_end: jnp.ndarray | None = None,
@@ -734,7 +734,7 @@ def pack_features(
     masks every row so pad slots (and the backward kernel's never-written
     d_feats tail) cannot leak gradients.
 
-    When the binning's emission grouping (emit_key/rank_of/seg_*) is given,
+    When the binning's per-Gaussian grouping (group_key=aligned_rank/rank_of/seg_*) is given,
     the gather's transpose is a sort-regroup + analytic-run segment sum
     instead of XLA's scatter-add."""
     P_ = opacity.shape[0]
@@ -753,9 +753,9 @@ def pack_features(
         ],
         axis=1,
     )  # [P, F_PAD]
-    if emit_key is not None:
+    if group_key is not None:
         feats = _make_expand_rows(bf16_grads)(
-            g24, sorted_gid, valid, emit_key, rank_of, seg_start, seg_end
+            g24, sorted_gid, valid, group_key, rank_of, seg_start, seg_end
         )
     else:
         feats = jnp.where(valid[:, None], g24[sorted_gid], 0.0)  # [N_cap, F]

@@ -24,7 +24,7 @@ with static-shape XLA built around the ops that are actually fast on TPU
   * Per-Gaussian grouping is FREE: each Gaussian's instances are contiguous
     in emission order (run r = [offsets[r], offsets[r]+area[r]) for depth
     rank r), so backward reductions sort values by the emission-index
-    payload (aligned_emit, gap-free below min(total, cap)) and
+    payload (aligned_rank; rank-grouped positions = emission order) and
     segment-reduce with these analytic bounds — no by-gid sort, no
     searchsorted, no inverse permutation.
 """
@@ -50,15 +50,14 @@ class Binned(NamedTuple):
     aligned_gid: jnp.ndarray | None  # [cap_al] 128-aligned exclusive layout
     aligned_valid: jnp.ndarray | None  # [cap_al] bool
     aligned_starts: jnp.ndarray | None  # [T_padded]
-    # per-Gaussian grouping of the aligned slots, in EMISSION space (for
-    # scatter-free per-Gaussian reductions in the backward): aligned slot ->
-    # the instance's expansion index (rides both sorts as a payload). Rank
-    # r's instances occupy exactly the emission run [seg_start[r],
-    # seg_end[r]), so sorting per-slot values by this key regroups them at
-    # analytic bounds — no inverse permutation, no gather. aligned_rank
-    # (the duplicated-key variant) serves tie-sort reductions
-    # (segment_max_sorted needs runs of EQUAL keys).
-    aligned_emit: jnp.ndarray | None  # [cap_al] (>= cap where invalid)
+    # per-Gaussian grouping of the aligned slots (for scatter-free
+    # per-Gaussian reductions in the backward): aligned slot -> its depth
+    # rank. Rank r's instances occupy exactly the run [seg_start[r],
+    # seg_end[r]) after a rank-keyed sort (rank-grouped positions coincide
+    # with emission indices), so sorting per-slot values by this ONE
+    # payload regroups them at analytic bounds — no inverse permutation,
+    # no gather; it doubles as validity (rank < P) and the gw tie-sort
+    # key.
     aligned_rank: jnp.ndarray | None  # [cap_al] (P where invalid)
     rank_of: jnp.ndarray | None  # [P] gaussian id -> its depth rank
     seg_start: jnp.ndarray | None  # [P] by rank
@@ -70,11 +69,14 @@ INSTANCE_ALIGN = 128  # kernels/tile_blend.py CI (lane-tile aligned)
 # expansion formulation: "gather" = mark+cumsum+cummax+[cap,2] row gather
 # (the gather is ~16 ms at bench scale, per-row-latency bound); "scan" =
 # scatter run-start values + hold-last associative scans (gather-free);
-# "kernel" = the Pallas run-decode (kernels/run_expand.py): one
-# bandwidth-bound pass producing all expansion columns + j at once
-# (requires cap % 4096 == 0; falls back to "gather" otherwise).
+# "kernel" = the Pallas run-decode (kernels/run_expand.py): one pass
+# producing all expansion columns + j at once (requires cap % 4096 == 0;
+# falls back to "gather" otherwise). Measured on v5e at bench scale the
+# gather chain is still fastest for the flat expansion (77 vs 84 ms whole
+# binning), so it stays the default; the run-decode kernel serves the
+# two-level tight-culling path, which has no gather formulation.
 # Module-level so the on-device profiler can flip it; all are exact.
-EXPAND_MODE = "kernel"
+EXPAND_MODE = "gather"
 
 
 def _expand_by_offsets(offsets: jnp.ndarray, n_out: int) -> jnp.ndarray:
@@ -246,12 +248,14 @@ def bin_gaussians(
     )
     mode = EXPAND_MODE
     cap_cols = cfg.max_columns or cap
-    tight = bool(cfg.tight_culling) and aligned and mode == "kernel"
-    if mode == "kernel":
+    tight = bool(cfg.tight_culling) and aligned
+    if mode == "kernel" or tight:
         from tpu_splat.kernels.run_expand import BLK as _EXPAND_BLK
 
         if cap % _EXPAND_BLK:
-            mode, tight = "gather", False
+            tight = False
+            if mode == "kernel":
+                mode = "gather"
         elif tight and cap_cols % _EXPAND_BLK:
             tight = False
     seg_start_t = seg_end_t = None
@@ -484,7 +488,7 @@ def bin_gaussians(
         tile_mask = k < counts_capped[:, None]
 
     aligned_gid = aligned_valid = aligned_starts = None
-    aligned_emit = aligned_rank = rank_of = seg_end = seg_start = None
+    aligned_rank = rank_of = seg_end = seg_start = None
     if aligned:
         # 4. ONE stable payload sort directly into the 128-aligned layout:
         # append one pad instance per missing slot (keyed by its tile) to the
@@ -508,34 +512,31 @@ def bin_gaussians(
 
         key = jnp.concatenate([inst_tile, pad_tile])
         gid_cat = jnp.concatenate([inst_gid, jnp.zeros(pad_cap, jnp.int32)])
-        # real instances carry their expansion index (< cap); pads (and
-        # capacity-overflow slots, keyed to n_tiles+) carry cap — the same
-        # payload provides validity AND the backward's regroup key
-        emit_cat = jnp.concatenate(
-            [
-                jnp.where(slot_valid, i, cap),
-                jnp.full(pad_cap, cap, jnp.int32),
-            ]
-        )
+        # real instances carry their depth rank (< P); pads (and
+        # capacity-overflow slots, keyed to n_tiles+) carry P — ONE payload
+        # provides validity, the backward's regroup key (rank-sorted
+        # positions land exactly on the analytic [seg_start, seg_end) runs,
+        # same as emission order), and the gw tie-sort key
         rank_cat = jnp.concatenate(
             [
                 jnp.where(slot_valid, gsel, P_),
                 jnp.full(pad_cap, P_, jnp.int32),
             ]
         )
-        _, aligned_gid, aligned_emit, aligned_rank = jax.lax.sort(
-            (key, gid_cat, emit_cat, rank_cat), num_keys=1, is_stable=True
+        _, aligned_gid, aligned_rank = jax.lax.sort(
+            (key, gid_cat, rank_cat), num_keys=1, is_stable=True
         )
-        aligned_valid = aligned_emit < cap
+        aligned_valid = aligned_rank < P_
 
         # 6. per-Gaussian segment bounds are analytic in emission space
         # (rank r's instances ARE expansion slots [offsets[r],
         # offsets[r]+area[r])); rank_of (gaussian id -> rank) unsorts
         # rank-ordered reductions. Instances past the capacity are dropped
-        # (the forward never renders them). The backward regroups per-slot
-        # values by ONE sort keyed on aligned_emit — emission indices have
-        # no gaps below min(total, cap), so post-sort position == emission
-        # index and the analytic bounds apply directly.
+        # (the forward never renders them; truncation hits the emission
+        # tail = the last ranks, so per-rank surviving counts match the
+        # clipped bounds). The backward regroups per-slot values by ONE
+        # sort keyed on aligned_rank — rank-grouped positions coincide
+        # with emission indices, so the analytic bounds apply directly.
         if seg_start_t is not None:
             seg_start, seg_end = seg_start_t, seg_end_t
         else:
@@ -556,7 +557,6 @@ def bin_gaussians(
         aligned_gid=aligned_gid,
         aligned_valid=aligned_valid,
         aligned_starts=aligned_starts,
-        aligned_emit=aligned_emit,
         aligned_rank=aligned_rank,
         rank_of=rank_of,
         seg_end=seg_end,

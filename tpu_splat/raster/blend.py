@@ -407,7 +407,7 @@ def blend_pallas(
     feats = tb.pack_features(
         binned.aligned_gid, binned.aligned_valid,
         hom, xy, opacity, normal_view, color, refl, scope_mask,
-        emit_key=binned.aligned_emit, rank_of=binned.rank_of,
+        group_key=binned.aligned_rank, rank_of=binned.rank_of,
         seg_start=binned.seg_start, seg_end=binned.seg_end,
         bf16_grads=bf16_grads,
     )

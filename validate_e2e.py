@@ -39,11 +39,17 @@ def main():
 
     H = W = 64 if SMOKE else 256
     n_gt = 200 if SMOKE else 3000
+    # non-smoke: the PRODUCTION training config (scripts/train.py defaults):
+    # train-shaped grads, bf16 grad regroup, per-column tight culling — this
+    # run is the quality certification for those switches
     cfg = RasterConfig(
         max_tiles_per_gaussian=16 if SMOKE else 64,
         max_instances=1 << (14 if SMOKE else 19),
         tile_depth=256 if SMOKE else 1024,
         chunk=16 if SMOKE else 32, backend="pallas",
+        grad_channels="train",
+        bf16_grads=not SMOKE,
+        tight_culling=not SMOKE,
     )
 
     # --- ground-truth scene: opaque cloud, some reflective, structured env
@@ -172,6 +178,9 @@ def main():
                 "H": H, "W": W, "n_gt": n_gt, "iterations": opt.iterations,
                 "sh_degree": 3, "densify": True, "normal_prop": True,
                 "color_sabotage": True, "max_instances": cfg.max_instances,
+                "grad_channels": cfg.grad_channels,
+                "bf16_grads": cfg.bf16_grads,
+                "tight_culling": cfg.tight_culling,
             },
             "psnr_curve": curve,
             "train_view_psnr": round(float(np.mean(tr)), 3),
