@@ -96,6 +96,7 @@ def main():
             backend="pallas",
             grad_channels="train",  # the reference training loss shape
             bf16_grads=True,  # training-grade grad compression (see config)
+            bf16_feats=True,  # bf16 content rows: 16-row instance slab
         )
         iters = 10
     else:  # CPU smoke config

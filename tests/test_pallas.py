@@ -177,3 +177,72 @@ def test_bf16_grads_close_to_exact():
         rel = np.abs(a - b).max() / scale
         assert rel < 2e-2, f"{n}: {rel}"
         assert np.isfinite(b).all()
+
+
+def test_bf16_feats_parity():
+    """bf16_feats packs content rows (color/normal/refl/scope) as bf16
+    pairs: geometry channels (alpha/T/depth) must be BIT-IDENTICAL, content
+    channels within bf16 rounding; grads close in relative terms."""
+    import dataclasses
+    from tpu_splat.data import random_scene, orbit_camera
+    from tpu_splat.raster import rasterize
+    from tpu_splat.raster.config import RasterConfig
+
+    H = W = 64
+    n = 150
+    raw = random_scene(n, seed=9)
+    cam = orbit_camera(H, W, radius=4.0, azimuth=0.3, elevation=0.2)
+    args = (
+        jnp.asarray(raw["xyz"]),
+        jnp.exp(jnp.asarray(raw["scaling"])),
+        jnp.asarray(raw["rotation"]),
+        jax.nn.sigmoid(jnp.asarray(raw["opacity"][:, 0])),
+        jax.nn.sigmoid(jnp.asarray(raw["refl"][:, 0])),
+    )
+    sh = jnp.asarray(raw["sh"])
+    bg = jnp.zeros(3)
+    base = RasterConfig(
+        max_tiles_per_gaussian=16, max_instances=4096, tile_depth=256,
+        chunk=16, backend="pallas", grad_channels="train", bf16_grads=True,
+    )
+    cfg16 = dataclasses.replace(base, bf16_feats=True)
+
+    def run(cfg):
+        return rasterize(*args, cam, bg, cfg, sh=sh, sh_degree=0)
+
+    a, b = jax.jit(lambda: run(base))(), jax.jit(lambda: run(cfg16))()
+    # geometry-derived channels exact
+    np.testing.assert_array_equal(np.asarray(a.final_T), np.asarray(b.final_T))
+    np.testing.assert_array_equal(
+        np.asarray(a.others[..., 0]), np.asarray(b.others[..., 0])  # depth
+    )
+    np.testing.assert_array_equal(np.asarray(a.n_contrib), np.asarray(b.n_contrib))
+    # content channels within bf16 rounding of unit-scale values
+    assert float(jnp.abs(a.color - b.color).max()) < 1e-2
+    assert float(jnp.abs(a.others[..., 2:5] - b.others[..., 2:5]).max()) < 1e-2
+    assert float(jnp.abs(a.refl_map - b.refl_map).max()) < 1e-2
+
+    def loss(cfg):
+        def f(xyz, scales, rots, opa, sh):
+            out = rasterize(
+                xyz, scales, rots, opa, args[4], cam, bg, cfg,
+                sh=sh, sh_degree=0,
+            )
+            return (
+                jnp.sum(out.color**2)
+                + jnp.sum(out.others[..., 2:5] ** 2)
+                + jnp.sum(out.refl_map**2)
+            )
+
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))(
+            args[0], args[1], args[2], args[3], sh
+        )
+
+    ga, gb = loss(base), loss(cfg16)
+    for x, y, nm in zip(ga, gb, ("xyz", "scales", "rots", "opa", "sh")):
+        x, y = np.asarray(x), np.asarray(y)
+        assert np.isfinite(y).all(), nm
+        scale = np.abs(x).max() + 1e-8
+        assert np.abs(x - y).max() / scale < 3e-2, (
+            nm, np.abs(x - y).max() / scale
+        )

@@ -161,6 +161,45 @@ def _dot_mm_exact01(a01, b):
     return out
 
 
+F_IN_PACKED = 16  # packed-feats slab rows (content pairs in rows 12..15)
+
+
+def _pack2_bits(a, b):
+    """bf16-round two f32 arrays and pack (a=hi16 | b=hi16>>16) into one
+    f32-bitcast word (pure i32 bit ops — no 16-bit dtypes in-kernel)."""
+    ia = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16).astype(jnp.float32), jnp.int32
+    )
+    ib = jax.lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16).astype(jnp.float32), jnp.int32
+    )
+    lo = jax.lax.shift_right_logical(ib, 16)
+    return jax.lax.bitcast_convert_type(
+        (ia & jnp.int32(-65536)) | lo, jnp.float32
+    )
+
+
+def _unpack2_bits(p):
+    """Inverse of _pack2_bits -> (hi, lo) f32 (exact bf16 values)."""
+    u = jax.lax.bitcast_convert_type(p, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(u & jnp.int32(-65536), jnp.float32)
+    lo = jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(u, 16), jnp.float32
+    )
+    return hi, lo
+
+
+def _content_rows(fb, packed: bool):
+    """[8, CI] content rows (c0,c1,c2,n0,n1,n2,refl,scope) from the slab.
+
+    Packed slabs carry bf16 pairs (content[k], content[k+4]) in rows
+    12..15, so concat(hi, lo) restores the natural row order directly."""
+    if not packed:
+        return fb[F_CON : F_CON + N_CON]
+    hi, lo = _unpack2_bits(fb[12:16])
+    return jnp.concatenate([hi, lo], axis=0)
+
+
 def _ltri_strict():
     """[CI, CI] strict lower-triangular ones: Lstrict @ v = exclusive cumsum."""
     i = jax.lax.broadcasted_iota(jnp.int32, (CI, CI), 0)
@@ -328,6 +367,7 @@ def _tile_blend_kernel(
     f_sem,
     w_sem,
     train_shape: bool = False,
+    packed_feats: bool = False,
 ):
     """train_shape=True statically drops the depth-distortion / M1 / M2 /
     median VALUE computation too (~25% of the per-chunk VPU work): the
@@ -483,7 +523,7 @@ def _tile_blend_kernel(
             state[O_DIST, :] += sums[0, 5 * L : 6 * L]
 
         # content accumulation: ONE [8, CI] @ [CI, L] matmul
-        cw = _dot_mm(fb[F_CON : F_CON + N_CON], w, precision=_HI)  # [8, L]
+        cw = _dot_mm(_content_rows(fb, packed_feats), w, precision=_HI)  # [8, L]
         state[O_COL, :] += cw[0]
         state[O_COL + 1, :] += cw[1]
         state[O_COL + 2, :] += cw[2]
@@ -564,13 +604,14 @@ def _tile_blend_kernel(
 
 
 def tile_blend_forward(
-    feats: jnp.ndarray,  # [F_PAD, N_cap] feature-major instance attributes
+    feats: jnp.ndarray,  # [F_PAD | 16, N_cap] feature-major instance attrs
     starts: jnp.ndarray,  # [T] i32 CI-aligned exclusive range starts
     counts: jnp.ndarray,  # [T] i32
     org_x: jnp.ndarray,  # [T] i32
     org_y: jnp.ndarray,  # [T] i32
     interpret: bool | None = None,
     train_shape: bool = False,
+    packed_feats: bool = False,
 ):
     """-> (out_px [T, 16, 256], wmax [N_cap]). train_shape statically drops
     the distortion/median channel computation (see kernel docstring)."""
@@ -578,6 +619,8 @@ def tile_blend_forward(
         interpret = jax.default_backend() == "cpu"
     T = starts.shape[0]
     n_cap = feats.shape[1]
+    f_in = F_IN_PACKED if packed_feats else F_PAD
+    assert feats.shape[0] == f_in, (feats.shape, packed_feats)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(T,),
@@ -591,8 +634,8 @@ def tile_blend_forward(
         ],
         scratch_shapes=[
             pltpu.VMEM((24, L), jnp.float32),
-            pltpu.VMEM((2, F_PAD, CI), jnp.float32),
-            pltpu.VMEM((2, F_PAD, CI), jnp.float32),
+            pltpu.VMEM((2, f_in, CI), jnp.float32),
+            pltpu.VMEM((2, f_in, CI), jnp.float32),
             pltpu.VMEM((WSLOT, 8, CI), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -604,7 +647,11 @@ def tile_blend_forward(
     # writes its own ranges, so unwritten slots must be 0, not garbage
     wmax_init = jnp.zeros((8, n_cap), jnp.float32)
     out_px, wmax = pl.pallas_call(
-        functools.partial(_tile_blend_kernel, train_shape=train_shape),
+        functools.partial(
+            _tile_blend_kernel,
+            train_shape=train_shape,
+            packed_feats=packed_feats,
+        ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, 16, L), jnp.float32),
@@ -642,11 +689,22 @@ def _unpack_pair_bf16(c):
     return hi, lo
 
 
+def _pack_g16(g24):
+    """[P, F_PAD] -> [P, 16]: geometry rows verbatim, content rows 12..15
+    as bf16 pairs (content[k], content[k+4]) — see _content_rows."""
+    con = g24[:, F_CON : F_CON + 8]
+    pairs = [_pack2_bits(con[:, k], con[:, k + 4]) for k in range(4)]
+    return jnp.concatenate(
+        [g24[:, :12], jnp.stack(pairs, axis=1)], axis=1
+    )
+
+
 @functools.lru_cache(maxsize=None)
-def _make_expand_rows(bf16_pack: bool):
+def _make_expand_rows(bf16_pack: bool, packed_feats: bool = False):
     @jax.custom_vjp
     def expand_rows(g24, gid, valid, group_key, rank_of, seg_start, seg_end):
-        return jnp.where(valid[:, None], g24[gid], 0.0)  # [N_cap, F]
+        g_in = _pack_g16(g24) if packed_feats else g24
+        return jnp.where(valid[:, None], g_in[gid], 0.0)  # [N_cap, F|16]
 
     def fwd(g24, gid, valid, group_key, rank_of, seg_start, seg_end):
         out = expand_rows(g24, gid, valid, group_key, rank_of, seg_start, seg_end)
@@ -671,6 +729,36 @@ def _make_expand_rows(bf16_pack: bool):
         from tpu_splat.kernels.segment_reduce import segment_sum_ranges
 
         valid, group_key, rank_of, seg_start, seg_end = res
+        if packed_feats:
+            # d_out is [N, 16]: cols 0..11 f32 geometry grads, cols 12..15
+            # bf16 content-grad pairs straight from the backward kernel.
+            # Geometry pairs compress for the sort exactly like bf16_pack;
+            # content pairs ride AS-IS (already one word per pair).
+            geo = [
+                _pack_pair_bf16(d_out[:, 2 * k], d_out[:, 2 * k + 1])
+                for k in range(6)
+            ]
+            con = [d_out[:, 12 + k] for k in range(4)]
+            srt = jax.lax.sort(
+                (group_key,) + tuple(geo) + tuple(con),
+                num_keys=1, is_stable=False,
+            )
+            rows = []
+            for c in srt[1:7]:
+                hi, lo = _unpack_pair_bf16(c)
+                rows += [hi, lo]  # geometry rows 0..11
+            chl = [_unpack2_bits(c) for c in srt[7:11]]
+            # content order: c0 c1 c2 n0 (hi halves), n1 n2 refl (lo halves)
+            rows += [chl[0][0], chl[1][0], chl[2][0], chl[3][0],
+                     chl[0][1], chl[1][1], chl[2][1]]
+            rows_T = jnp.stack(rows, axis=0)  # [19, cap_al]
+            d_part = segment_sum_ranges(rows_T, seg_start, seg_end).T[rank_of]
+            F = F_PAD
+            d_g24 = jnp.concatenate(
+                [d_part, jnp.zeros((d_part.shape[0], F - 19), d_part.dtype)],
+                axis=1,
+            )
+            return d_g24, None, None, None, None, None, None
         F = d_out.shape[1]
         ncols = min(F, F_GRAD)
         if bf16_pack:
@@ -725,6 +813,7 @@ def pack_features(
     seg_start: jnp.ndarray | None = None,
     seg_end: jnp.ndarray | None = None,
     bf16_grads: bool = False,
+    bf16_feats: bool = False,
 ) -> jnp.ndarray:
     """Gather per-Gaussian attrs into the kernel's [F_PAD, N_cap] layout.
 
@@ -754,10 +843,11 @@ def pack_features(
         axis=1,
     )  # [P, F_PAD]
     if group_key is not None:
-        feats = _make_expand_rows(bf16_grads)(
+        feats = _make_expand_rows(bf16_grads, bf16_feats)(
             g24, sorted_gid, valid, group_key, rank_of, seg_start, seg_end
         )
     else:
+        assert not bf16_feats, "bf16_feats requires the grouped (sorted) path"
         feats = jnp.where(valid[:, None], g24[sorted_gid], 0.0)  # [N_cap, F]
     return feats.T
 
@@ -784,7 +874,9 @@ def pack_features(
 
 
 @functools.lru_cache(maxsize=None)
-def _make_bwd_kernel(full_grads: bool):
+def _make_bwd_kernel(full_grads: bool, packed_feats: bool = False):
+    f_io = F_IN_PACKED if packed_feats else F_PAD
+
     def kernel(
         starts_ref,
         counts_ref,
@@ -930,7 +1022,9 @@ def _make_bwd_kernel(full_grads: bool):
             w = jnp.where(contrib, alpha * T_i, 0.0)
 
             # what = content terms + depth (+ distortion when full)
-            what_content = _dot_k(fb[F_CON : F_CON + 7], ct7, precision=_HI)
+            what_content = _dot_k(
+                _content_rows(fb, packed_feats)[:7], ct7, precision=_HI
+            )
             what = what_content + ct_d * depth
             d_depth = w * ct_d
 
@@ -1075,7 +1169,7 @@ def _make_bwd_kernel(full_grads: bool):
             def _wait_gprev():
                 grad_copy(slot, base).wait()  # retires the k-WSLOT copy
 
-            gbuf[slot] = jnp.zeros((F_PAD, CI), jnp.float32)
+            gbuf[slot] = jnp.zeros((f_io, CI), jnp.float32)
             for c in range(3):
                 gbuf[slot, F_TU + c, :] = (d_Tu_b[c] + d_Tu_c[c])[0]
                 gbuf[slot, F_TV + c, :] = (d_Tv_a[c] + d_Tv_c[c])[0]
@@ -1083,7 +1177,20 @@ def _make_bwd_kernel(full_grads: bool):
             gbuf[slot, F_AX2, :] = d_sx[0]
             gbuf[slot, F_AY2, :] = d_sy[0]
             gbuf[slot, F_LO, :] = d_lo[0]
-            gbuf[slot, F_CON : F_CON + 7, :] = _dot_px(ct7, w, precision=_HI)
+            dcon = _dot_px(ct7, w, precision=_HI)  # [7, CI]
+            if packed_feats:
+                # content-grad PAIRS ship pre-packed (the regroup sort uses
+                # them as payload columns directly); pairing matches
+                # _content_rows: (k, k+4), slot 15's lo half is the
+                # grad-free scope row
+                gbuf[slot, 12, :] = _pack2_bits(dcon[0:1], dcon[4:5])[0]
+                gbuf[slot, 13, :] = _pack2_bits(dcon[1:2], dcon[5:6])[0]
+                gbuf[slot, 14, :] = _pack2_bits(dcon[2:3], dcon[6:7])[0]
+                gbuf[slot, 15, :] = _pack2_bits(
+                    dcon[3:4], jnp.zeros((1, CI), jnp.float32)
+                )[0]
+            else:
+                gbuf[slot, F_CON : F_CON + 7, :] = dcon
             grad_copy(slot, base).start()
             gcnt[0] = k + 1
 
@@ -1136,12 +1243,16 @@ def tile_blend_backward(
     ct_px: jnp.ndarray,  # [T, 16, L]
     full_grads: bool = True,
     interpret: bool | None = None,
+    packed_feats: bool = False,
 ) -> jnp.ndarray:
-    """-> d_feats [F_PAD, N_cap]."""
+    """-> d_feats [F_PAD | 16, N_cap] (packed: content-grad bf16 pairs in
+    rows 12..15, matching the packed input layout)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     T = starts.shape[0]
     n_cap = feats.shape[1]
+    f_io = F_IN_PACKED if packed_feats else F_PAD
+    assert feats.shape[0] == f_io, (feats.shape, packed_feats)
     # chunks per tile that contain any contributor, from the forward's
     # n_contrib map (reference reuses the same saved rank,
     # backward.cu:198-204); computed here so the kernel can software-
@@ -1163,20 +1274,20 @@ def tile_blend_backward(
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((8, L), jnp.float32),
-            pltpu.VMEM((2, F_PAD, CI), jnp.float32),
-            pltpu.VMEM((2, F_PAD, CI), jnp.float32),
-            pltpu.VMEM((WSLOT, F_PAD, CI), jnp.float32),
+            pltpu.VMEM((2, f_io, CI), jnp.float32),
+            pltpu.VMEM((2, f_io, CI), jnp.float32),
+            pltpu.VMEM((WSLOT, f_io, CI), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((WSLOT,)),
         ],
     )
-    dfeats_init = jnp.zeros((F_PAD, n_cap), jnp.float32)
+    dfeats_init = jnp.zeros((f_io, n_cap), jnp.float32)
     (d_feats,) = pl.pallas_call(
-        _make_bwd_kernel(full_grads),
+        _make_bwd_kernel(full_grads, packed_feats),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((F_PAD, n_cap), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((f_io, n_cap), jnp.float32)],
         input_output_aliases={8: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -1189,7 +1300,7 @@ def tile_blend_backward(
 
 
 @functools.lru_cache(maxsize=None)
-def _make_blend_kernel(full_grads: bool):
+def _make_blend_kernel(full_grads: bool, packed_feats: bool = False):
     # full_grads=False is the train-shaped pair: the forward skips the
     # distortion/median channel VALUES and the backward skips their
     # cotangent chains (both provably unused by the reference training loss)
@@ -1198,13 +1309,15 @@ def _make_blend_kernel(full_grads: bool):
     @jax.custom_vjp
     def blend_kernel(feats, starts, counts, org_x, org_y):
         out_px, wmax = tile_blend_forward(
-            feats, starts, counts, org_x, org_y, train_shape=ts_
+            feats, starts, counts, org_x, org_y, train_shape=ts_,
+            packed_feats=packed_feats,
         )
         return out_px, jax.lax.stop_gradient(wmax)
 
     def fwd(feats, starts, counts, org_x, org_y):
         out_px, wmax = tile_blend_forward(
-            feats, starts, counts, org_x, org_y, train_shape=ts_
+            feats, starts, counts, org_x, org_y, train_shape=ts_,
+            packed_feats=packed_feats,
         )
         return (out_px, jax.lax.stop_gradient(wmax)), (
             feats,
@@ -1220,7 +1333,7 @@ def _make_blend_kernel(full_grads: bool):
         d_out_px, _d_wmax = cts
         d_feats = tile_blend_backward(
             feats, starts, counts, org_x, org_y, out_px, d_out_px,
-            full_grads=full_grads,
+            full_grads=full_grads, packed_feats=packed_feats,
         )
         return d_feats, None, None, None, None
 
@@ -1228,8 +1341,14 @@ def _make_blend_kernel(full_grads: bool):
     return blend_kernel
 
 
-def blend_kernel(feats, starts, counts, org_x, org_y, full_grads: bool = True):
+def blend_kernel(
+    feats, starts, counts, org_x, org_y,
+    full_grads: bool = True, packed_feats: bool = False,
+):
     """Differentiable tile sweep. full_grads=False is the train-shaped
     backward: statically drops the distortion/M1/M2/median cotangent chains
-    (provably zero for the reference training loss with depth_ratio=0)."""
-    return _make_blend_kernel(full_grads)(feats, starts, counts, org_x, org_y)
+    (provably zero for the reference training loss with depth_ratio=0);
+    packed_feats consumes the 16-row bf16-content slab layout."""
+    return _make_blend_kernel(full_grads, packed_feats)(
+        feats, starts, counts, org_x, org_y
+    )

@@ -145,6 +145,7 @@ def rasterize(
             axis=mesh_axis,
             full_grads=cfg.grad_channels != "train",
             bf16_grads=cfg.bf16_grads,
+            bf16_feats=cfg.bf16_feats,
         )
         return RasterOutput(
             color=out.color,

@@ -392,6 +392,7 @@ def blend_pallas(
     axis: str = "tiles",
     full_grads: bool = True,
     bf16_grads: bool = False,
+    bf16_feats: bool = False,
 ) -> BlendOutput:
     """Forward blend via the Pallas tile kernel (tpu_splat.kernels.tile_blend).
 
@@ -409,7 +410,7 @@ def blend_pallas(
         hom, xy, opacity, normal_view, color, refl, scope_mask,
         group_key=binned.aligned_rank, rank_of=binned.rank_of,
         seg_start=binned.seg_start, seg_end=binned.seg_end,
-        bf16_grads=bf16_grads,
+        bf16_grads=bf16_grads, bf16_feats=bf16_feats,
     )
     T_pad = binned.aligned_starts.shape[0]
     org = tile_origins(height, width, pad_tiles_to=1)
@@ -426,7 +427,7 @@ def blend_pallas(
     if mesh is None:
         out_px, wmax = tb.blend_kernel(
             feats, binned.aligned_starts, counts_full, org[:, 0], org[:, 1],
-            full_grads=full_grads,
+            full_grads=full_grads, packed_feats=bf16_feats,
         )
     else:
         # tile-axis sharding: each chip runs the kernel pair on its tile rows
@@ -435,7 +436,8 @@ def blend_pallas(
         # partials combine exactly)
         def local(f, st, cn, ox, oy):
             out_px_l, wmax_l = tb.blend_kernel(f, st, cn, ox, oy,
-                                               full_grads=full_grads)
+                                               full_grads=full_grads,
+                                               packed_feats=bf16_feats)
             return out_px_l, wmax_l[None]
 
         out_px, wmax_parts = jax.shard_map(

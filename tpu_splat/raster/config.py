@@ -53,6 +53,14 @@ class RasterConfig:
     # validate_e2e with this flag on. Off by default so parity tests measure
     # exact f32 gradients.
     bf16_grads: bool = False
+    # bf16-compress the CONTENT feature rows (color/normal/refl/scope) of
+    # the instance slab: pairs pack into one word, shrinking the dominant
+    # pack gather [cap, 24]->[cap, 16] and the kernels' per-chunk DMA by a
+    # third. Geometry rows (homography/center/log-opacity) stay f32, so
+    # alpha/depth/termination are bit-identical; content channels carry
+    # bf16 (~2^-9 relative) rounding. Requires bf16_grads (content grads
+    # ship bf16-packed through the regroup). Certified with validate_e2e.
+    bf16_feats: bool = False
     # per-tile-COLUMN tight culling: instances are emitted per (Gaussian,
     # tile column) with the exact y-extent of the 3-sigma conic (union the
     # low-pass disk) over that column's x-slab, instead of the full
@@ -77,6 +85,9 @@ class RasterConfig:
             assert self.depth_ratio == 0.0, (
                 "grad_channels='train' requires depth_ratio == 0"
             )
+        if self.bf16_feats:
+            assert self.bf16_grads, "bf16_feats requires bf16_grads"
+
 
     def use_pallas(self) -> bool:
         if self.backend == "auto":

@@ -87,6 +87,8 @@ def training(args, argv_namespace=None):
         # regroup (exact f32 per-Gaussian sums; --exact_grads disables)
         bf16_grads=(pipe.depth_ratio == 0.0
                     and not getattr(args, "exact_grads", False)),
+        bf16_feats=(pipe.depth_ratio == 0.0
+                    and not getattr(args, "exact_grads", False)),
         # per-column tight binning (PARITY.md D2): ~35-40% fewer instances;
         # engages only on the Pallas path with 4096-aligned capacities
         tight_culling=not getattr(args, "exact_grads", False),
