@@ -395,6 +395,17 @@ def test_tight_culling_parity_bound():
 
     a, b = run(base), run(cfg_t)
     assert int(b.num_instances) < int(a.num_instances)  # it actually culls
+
+    # gradients must flow THROUGH the render with tight binning (the
+    # run-decode kernel has no AD rule; binning is stop_gradient'ed)
+    def loss(xyz):
+        out = rasterize(
+            xyz, scales, rot, op, refl, cam, bg, cfg_t, colors=colors
+        )
+        return jnp.sum(out.color**2)
+
+    g = np.asarray(jax.grad(loss)(xyz))
+    assert np.isfinite(g).all() and np.abs(g).max() > 0
     assert float(jnp.abs(a.color - b.color).max()) <= 0.02
     assert float(jnp.abs(a.refl_map - b.refl_map).max()) <= 0.02
     keep = [0, 1, 2, 3, 4, 7]  # depth/alpha/normal/mask; 5=median 6=dist

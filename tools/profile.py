@@ -170,6 +170,19 @@ def section_stages():
     timed(stage_pack, (prep, binned, opacity, refl, scope),
           name="pack_features")
 
+    def stage_pack16(prep, binned, opacity, refl, scope):
+        return pack_features(
+            binned.aligned_gid, binned.aligned_valid, prep.hom, prep.xy,
+            opacity, prep.normal_view, prep.color, refl, scope,
+            group_key=binned.aligned_rank, rank_of=binned.rank_of,
+            seg_start=binned.seg_start, seg_end=binned.seg_end,
+            bf16_grads=True, bf16_feats=True,
+        )
+
+    jax.jit(stage_pack16)(prep, binned, opacity, refl, scope)
+    timed(stage_pack16, (prep, binned, opacity, refl, scope),
+          name="pack_features (bf16 16-row)")
+
     ty, tx = tile_grid(H, W)
     t_ids = jnp.arange(ty * tx, dtype=jnp.int32)
     org_x = (t_ids % tx) * TILE

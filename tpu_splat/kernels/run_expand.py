@@ -143,6 +143,10 @@ def run_expand(
     slot 128*m (e.g. cumsum-of-marks sliced at stride 128)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    # run decode is discrete binning structure (like the reference's
+    # duplicateWithKeys): non-differentiable by design. Cutting tangent
+    # flow here keeps pallas_call (which has no AD rule) off grad traces.
+    table = jax.lax.stop_gradient(table)
     P_, K = table.shape
     kmax = 8 if K <= 6 else 16
     if K > kmax - 2:

@@ -49,6 +49,7 @@ def main():
         chunk=16 if SMOKE else 32, backend="pallas",
         grad_channels="train",
         bf16_grads=not SMOKE,
+        bf16_feats=not SMOKE,
         tight_culling=not SMOKE,
     )
 
@@ -180,6 +181,7 @@ def main():
                 "color_sabotage": True, "max_instances": cfg.max_instances,
                 "grad_channels": cfg.grad_channels,
                 "bf16_grads": cfg.bf16_grads,
+                "bf16_feats": cfg.bf16_feats,
                 "tight_culling": cfg.tight_culling,
             },
             "psnr_curve": curve,
