@@ -17,6 +17,7 @@ import time
 import numpy as np
 
 SMOKE = os.environ.get("E2E_SMOKE", "") == "1"  # tiny CPU smoke run
+EXACT = os.environ.get("E2E_EXACT", "") == "1"  # A/B: f32 full-grad, rect binning
 VALID_OUT = os.environ.get("VALID_OUT", "")  # write a JSON artifact here
 
 
@@ -47,10 +48,10 @@ def main():
         max_instances=1 << (14 if SMOKE else 19),
         tile_depth=256 if SMOKE else 1024,
         chunk=16 if SMOKE else 32, backend="pallas",
-        grad_channels="train",
-        bf16_grads=not SMOKE,
-        bf16_feats=not SMOKE,
-        tight_culling=not SMOKE,
+        grad_channels="full" if EXACT else "train",
+        bf16_grads=not SMOKE and not EXACT,
+        bf16_feats=not SMOKE and not EXACT,
+        tight_culling=not SMOKE and not EXACT,
     )
 
     # --- ground-truth scene: opaque cloud, some reflective, structured env
