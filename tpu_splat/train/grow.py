@@ -106,8 +106,10 @@ def check_growth(
 
     changes = {}
     if num_instances > headroom * cfg.max_instances:
+        # 4096-aligned so the tight-culling / run-decode path (which
+        # requires max_instances % 4096 == 0) survives capacity growth
         changes["max_instances"] = _round_up(
-            cfg.max_instances * factor, INSTANCE_ALIGN
+            cfg.max_instances * factor, 4096
         )
         reasons.append(
             f"max_instances {cfg.max_instances} -> {changes['max_instances']}"
