@@ -89,9 +89,12 @@ def training(args, argv_namespace=None):
                     and not getattr(args, "exact_grads", False)),
         bf16_feats=(pipe.depth_ratio == 0.0
                     and not getattr(args, "exact_grads", False)),
-        # per-column tight binning (PARITY.md D2): ~35-40% fewer instances;
-        # engages only on the Pallas path with 4096-aligned capacities
-        tight_culling=not getattr(args, "exact_grads", False),
+        # per-column tight binning (PARITY.md D2): ~35-40% fewer instances
+        # on anisotropic scenes, but the two-level decode currently costs
+        # more than the savings at 1080p (245 vs 71 ms whole-binning on
+        # v5e) — opt-in until kernels/run_expand.py closes that gap.
+        # Quality-certified either way (VALID_r03 A/B).
+        tight_culling=bool(getattr(args, "tight_culling", False)),
     )
 
     ts = TrainState.create(
@@ -406,6 +409,11 @@ def main(argv=None):
     parser.add_argument(
         "--exact_grads", action="store_true",
         help="disable bf16 compression of per-instance gradient rows",
+    )
+    parser.add_argument(
+        "--tight_culling", action="store_true",
+        help="per-column 3-sigma-conic tile binning (PARITY.md D2): fewer "
+        "instances on anisotropic scenes at higher binning cost",
     )
     parser.add_argument(
         "--mesh", type=str, default="none", choices=["none", "tiles", "dp"],
