@@ -351,7 +351,31 @@ def section_regroup():
         return segment_sum_ranges(rows_T, starts, ends).T[rank_of]
 
     jax.jit(regroup)(d_out, emit)
-    timed(regroup, (d_out, emit), name="bwd sort-regroup + segsum")
+    timed(regroup, (d_out, emit), name="bwd sort-regroup + segsum (f32)")
+
+    from tpu_splat.kernels.tile_blend import _pack_pair_bf16, _unpack_pair_bf16
+
+    def regroup_bf16(d_out, emit):
+        # the production (bf16_grads/bf16_feats) path: 6 geometry pairs +
+        # 4 pre-packed content words ride the sort as 10 payloads
+        geo = [
+            _pack_pair_bf16(d_out[:, 2 * k], d_out[:, 2 * k + 1])
+            for k in range(6)
+        ]
+        con = [d_out[:, 12 + k] for k in range(4)]
+        srt = jax.lax.sort(
+            (emit,) + tuple(geo) + tuple(con), num_keys=1, is_stable=False
+        )
+        rows = []
+        for c in srt[1:7]:
+            hi, lo = _unpack_pair_bf16(c)
+            rows += [hi, lo]
+        rows += [srt[7 + k] for k in range(4)]  # content unpack omitted: ~free
+        rows_T = jnp.stack(rows[:F_GRAD], axis=0)
+        return segment_sum_ranges(rows_T, starts, ends).T[rank_of]
+
+    jax.jit(regroup_bf16)(d_out, emit)
+    timed(regroup_bf16, (d_out, emit), name="bwd sort-regroup + segsum (bf16)")
 
 
 def section_env():
