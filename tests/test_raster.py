@@ -309,10 +309,11 @@ def test_aabb_per_axis_culling_parity_bound():
 
 
 def test_binning_expand_modes_identical():
-    """The gather and hold-last-scan expansion formulations produce
-    identical binning (both exact; selected by raster.binning.EXPAND_MODE
-    for on-device profiling)."""
-    from tpu_splat.raster import binning as B
+    """The gather, hold-last-scan, and run-decode-kernel expansion
+    formulations produce identical binning (all exact; selected by
+    RasterConfig.expand_mode)."""
+    import dataclasses
+
     from tpu_splat.raster.binning import bin_gaussians
 
     # n=900 overflows max_instances=4096 so the capacity-truncation path is
@@ -326,16 +327,10 @@ def test_binning_expand_modes_identical():
 
     outs = {}
     for mode in ("gather", "scan", "kernel"):
-        old = B.EXPAND_MODE
-        B.EXPAND_MODE = mode
-        try:
-            # fresh closure per mode: jit caches key on function identity,
-            # not the module global
-            outs[mode] = jax.jit(
-                lambda p, _m=mode: bin_gaussians(p, H, W, CFG, aligned=True)
-            )(prep)
-        finally:
-            B.EXPAND_MODE = old
+        cfg_m = dataclasses.replace(CFG, expand_mode=mode)
+        outs[mode] = jax.jit(
+            lambda p, _c=cfg_m: bin_gaussians(p, H, W, _c, aligned=True)
+        )(prep)
 
     a = outs["gather"]
     assert int(a.num_instances) > 0

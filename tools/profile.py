@@ -298,17 +298,17 @@ def section_binning():
 
     binned = jax.jit(lambda p: B.bin_gaussians(p, H, W, cfg, aligned=True))(prep)
 
-    for mode in ("gather", "kernel"):
-        B.EXPAND_MODE = mode
-
-        def whole(prep, _m=mode):
-            return B.bin_gaussians(prep, H, W, cfg, aligned=True)
-
-        timed(whole, (prep,), name=f"bin_gaussians whole ({mode})")
-    B.EXPAND_MODE = "kernel"
     import dataclasses
 
-    cfg_t = dataclasses.replace(cfg, tight_culling=True)
+    for mode in ("gather", "kernel"):
+        cfg_m = dataclasses.replace(cfg, expand_mode=mode)
+
+        def whole(prep, _c=cfg_m):
+            return B.bin_gaussians(prep, H, W, _c, aligned=True)
+
+        timed(whole, (prep,), name=f"bin_gaussians whole ({mode})")
+
+    cfg_t = dataclasses.replace(cfg, tight_culling=True, expand_mode="kernel")
 
     def whole_tight(prep):
         return B.bin_gaussians(prep, H, W, cfg_t, aligned=True)

@@ -153,6 +153,14 @@ def run_expand(
         raise ValueError(f"run_expand supports K <= 14, got {K}")
     if n_out % BLK:
         raise ValueError(f"n_out must be a multiple of {BLK}, got {n_out}")
+    if n_out >= 1 << 23:
+        # offsets ride as exact f32 integers; past 2^23 the decode would
+        # silently mismatch runs (capacity growth doubles max_instances, so
+        # an 8.4M cap is reachable — fail loudly instead)
+        raise ValueError(
+            f"run_expand capacity {n_out} >= 2^23: run offsets are exact "
+            "f32 integers only below 8388608"
+        )
     S = n_out // BLK
     k = 128 // kmax
     subw = 8 * -(-(136 // k + 9) // 8)  # 8-aligned sub-window phys rows

@@ -38,6 +38,7 @@ class RasterOutput(NamedTuple):
     num_instances: jnp.ndarray  # [] overflow diagnostic
     max_area: jnp.ndarray  # [] overflow diagnostic
     tile_counts: jnp.ndarray  # [T] overflow diagnostic
+    pad_overflow: jnp.ndarray  # [] pads beyond cfg.pad_per_tile budget
 
 
 def rasterize(
@@ -158,6 +159,7 @@ def rasterize(
             num_instances=binned.num_instances,
             max_area=binned.max_area,
             tile_counts=binned.tile_counts,
+            pad_overflow=binned.pad_overflow,
         )
     out = blend(
         binned.tile_gid,
@@ -187,4 +189,5 @@ def rasterize(
         num_instances=binned.num_instances,
         max_area=binned.max_area,
         tile_counts=binned.tile_counts,
+        pad_overflow=binned.pad_overflow,
     )

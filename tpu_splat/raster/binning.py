@@ -62,21 +62,17 @@ class Binned(NamedTuple):
     rank_of: jnp.ndarray | None  # [P] gaussian id -> its depth rank
     seg_start: jnp.ndarray | None  # [P] by rank
     seg_end: jnp.ndarray | None  # [P] by rank
+    # [] i32: pads beyond the cfg.pad_per_tile budget (0 = layout exact);
+    # check_growth escalates pad_per_tile when nonzero
+    pad_overflow: jnp.ndarray | None = None
 
 
 INSTANCE_ALIGN = 128  # kernels/tile_blend.py CI (lane-tile aligned)
 
-# expansion formulation: "gather" = mark+cumsum+cummax+[cap,2] row gather
-# (the gather is ~16 ms at bench scale, per-row-latency bound); "scan" =
-# scatter run-start values + hold-last associative scans (gather-free);
-# "kernel" = the Pallas run-decode (kernels/run_expand.py): one pass
-# producing all expansion columns + j at once (requires cap % 4096 == 0;
-# falls back to "gather" otherwise). Measured on v5e at bench scale the
-# gather chain is still fastest for the flat expansion (77 vs 84 ms whole
-# binning), so it stays the default; the run-decode kernel serves the
-# two-level tight-culling path, which has no gather formulation.
-# Module-level so the on-device profiler can flip it; all are exact.
-EXPAND_MODE = "gather"
+# The expansion formulation now lives in RasterConfig.expand_mode (static,
+# hashable, part of the jit cache key) — the former EXPAND_MODE module
+# global was trace-context-dependent config smuggled past the static-arg
+# design (round-3 advisor finding).
 
 
 def _expand_by_offsets(offsets: jnp.ndarray, n_out: int) -> jnp.ndarray:
@@ -143,7 +139,7 @@ def _conic_column_params(prep: Preprocessed):
 def _column_y_range(rows1, j1, tiles_y: int):
     """Per-column tile-row range from the expanded level-1 table.
 
-    rows1 columns: rx, gid, rank, xc, yc, alpha, gamma, delta, rl.
+    rows1 columns: rx, gid, rank, xc, yc, alpha, gamma, delta, rl, px, py.
     Returns (ix, ty0, cnt_tight) where cnt_tight may be 0 (caller floors
     to 1 with an out-of-image dummy row to keep the run-expand >=1-length
     invariant)."""
@@ -156,9 +152,18 @@ def _column_y_range(rows1, j1, tiles_y: int):
     ga = rows1[6]
     de = jnp.maximum(rows1[7], 1e-20)
     rl = rows1[8]
+    # low-pass disk center: the blend kernel's rho2d term (F_AX2/F_AY2) is
+    # centered at the PROJECTED mean prep.xy, which under perspective skew
+    # diverges from the conic center (xc, yc) — testing the disk about the
+    # conic center could cull tiles inside the true low-pass footprint
+    # (round-3 advisor finding). The disk is tested about (px, py); the
+    # conic stays about (xc, yc).
+    px = rows1[9]
+    py = rows1[10]
 
     ix = rx + j1
-    u0 = ix.astype(jnp.float32) * TILE - xc
+    x0 = ix.astype(jnp.float32) * TILE
+    u0 = x0 - xc
     u1 = u0 + (TILE - 1)
     umax = jnp.sqrt(jnp.maximum(ga / de, 0.0))
     u0c = jnp.maximum(u0, -umax)
@@ -174,13 +179,15 @@ def _column_y_range(rows1, j1, tiles_y: int):
 
     y_hi_e = yc + V(jnp.clip(ut, u0c, u1c))
     y_lo_e = yc - V(jnp.clip(ut, -u1c, -u0c))
-    disk_on = (rl >= 0) & (u1 >= -rl) & (u0 <= rl)
+    v0 = x0 - px
+    v1 = v0 + (TILE - 1)
+    disk_on = (rl >= 0) & (v1 >= -rl) & (v0 <= rl)
     big = jnp.float32(3.4e38)
     y_hi = jnp.maximum(
-        jnp.where(ell_on, y_hi_e, -big), jnp.where(disk_on, yc + rl, -big)
+        jnp.where(ell_on, y_hi_e, -big), jnp.where(disk_on, py + rl, -big)
     )
     y_lo = jnp.minimum(
-        jnp.where(ell_on, y_lo_e, big), jnp.where(disk_on, yc - rl, big)
+        jnp.where(ell_on, y_lo_e, big), jnp.where(disk_on, py - rl, big)
     )
     any_on = ell_on | disk_on
     ty0 = jnp.clip(
@@ -246,7 +253,7 @@ def bin_gaussians(
         | (prep.rect_min[gorder][:, 1] << 10)
         | (rw_col << 20)
     )
-    mode = EXPAND_MODE
+    mode = cfg.expand_mode
     cap_cols = cfg.max_columns or cap
     tight = bool(cfg.tight_culling) and aligned
     if mode == "kernel" or tight:
@@ -309,6 +316,8 @@ def bin_gaussians(
                 ga_c[gorder],
                 de_c[gorder],
                 rl_c[gorder],
+                prep.xy[gorder][:, 0],
+                prep.xy[gorder][:, 1],
             ],
             axis=1,
         )
@@ -366,7 +375,13 @@ def bin_gaussians(
             [seg_start_t[1:], tot2c[None].astype(jnp.int32)]
         )
         seg_end_t = jnp.where(vr, seg_end_t, tot2c).astype(jnp.int32)
-        # column overflow must also trigger capacity growth: report >= cap
+        # column overflow must also trigger capacity growth: report >= cap.
+        # total2 includes the >=1-per-column dummy floor — that is real slot
+        # OCCUPANCY (dummies consume capacity and truncation is by slot), so
+        # it is the honest growth signal even though it can exceed the true
+        # instance load on thin-splat-dominated scenes (round-3 advisor
+        # note); reporting sum(cnt_t) instead would let real instances
+        # truncate silently once dummies push occupancy past cap.
         num_inst_diag = jnp.where(
             total1 > cap_cols, jnp.maximum(total2, cap), total2
         )
@@ -489,6 +504,7 @@ def bin_gaussians(
 
     aligned_gid = aligned_valid = aligned_starts = None
     aligned_rank = rank_of = seg_end = seg_start = None
+    pad_overflow = jnp.zeros((), jnp.int32)
     if aligned:
         # 4. ONE stable payload sort directly into the 128-aligned layout:
         # append one pad instance per missing slot (keyed by its tile) to the
@@ -503,10 +519,15 @@ def bin_gaussians(
             jnp.int32
         )
         pad_counts = aligned_counts - counts
-        pad_cap = n_tiles_padded * al
+        pad_cap = n_tiles_padded * min(cfg.pad_per_tile, al)
         pad_off = jnp.cumsum(pad_counts) - pad_counts
         pad_tile = _expand_by_offsets(pad_off, pad_cap)
         npads = jnp.sum(pad_counts)
+        # budgeted pad capacity (cfg.pad_per_tile < 128): if the realized
+        # pad total exceeds it, later tiles' aligned ranges would read other
+        # tiles' instances — reported for check_growth to escalate the
+        # budget (one bad frame, like instance-capacity truncation)
+        pad_overflow = jnp.maximum(npads - pad_cap, 0)
         pad_ok = jnp.arange(pad_cap, dtype=jnp.int32) < npads
         pad_tile = jnp.where(pad_ok, pad_tile, n_tiles_padded)
 
@@ -561,4 +582,5 @@ def bin_gaussians(
         rank_of=rank_of,
         seg_end=seg_end,
         seg_start=seg_start,
+        pad_overflow=pad_overflow,
     )

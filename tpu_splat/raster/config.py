@@ -74,11 +74,30 @@ class RasterConfig:
     # level-1 capacity (tile columns) for tight culling; 0 = max_instances
     # (always sufficient: every column emits >= 1 instance)
     max_columns: int = 0
+    # per-tile pad budget for the 128-aligned instance layout: the aligned
+    # arrays are statically sized max_instances + n_tiles * pad_per_tile.
+    # 128 is the worst case (always exact); per-tile pad counts are
+    # (-count) mod 128 — mean 64 with a short-tailed sum across thousands
+    # of tiles — so 96 keeps a huge margin while shrinking every
+    # cap_al-sized stage (backward regroup sort, pack gather, aligned
+    # sort) by ~12%. Overflow (astronomically unlikely below 128) is
+    # reported via Binned.pad_overflow; check_growth escalates to 128.
+    pad_per_tile: int = 128
+    # flat-expansion formulation (bin_gaussians): "gather" =
+    # mark+cumsum+cummax+[cap,2] row gather; "scan" = hold-last associative
+    # scans (gather-free); "kernel" = the Pallas run-decode
+    # (kernels/run_expand.py; requires max_instances % 4096 == 0, falls
+    # back to "gather" otherwise). All are exact; "gather" measures fastest
+    # at bench scale on v5e. Part of the static config (hashable) so the
+    # jit cache key carries it — formerly a mutable module global.
+    expand_mode: str = "gather"
 
     def __post_init__(self):
         assert self.tile_depth % self.chunk == 0
         assert self.backend in ("auto", "xla", "pallas"), self.backend
         assert self.grad_channels in ("full", "train"), self.grad_channels
+        assert self.expand_mode in ("gather", "scan", "kernel"), self.expand_mode
+        assert 1 <= self.pad_per_tile <= 128, self.pad_per_tile
         if self.grad_channels == "train":
             # median-depth cotangents are dropped; surf_depth must not mix
             # the median channel in

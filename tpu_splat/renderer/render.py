@@ -39,6 +39,7 @@ class RenderOutput(NamedTuple):
     num_instances: jnp.ndarray  # overflow diagnostics
     max_area: jnp.ndarray
     max_tile_count: jnp.ndarray
+    pad_overflow: jnp.ndarray
 
 
 def _safe_normalize(v: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
@@ -184,6 +185,7 @@ def render(
         num_instances=out.num_instances,
         max_area=out.max_area,
         max_tile_count=jnp.max(out.tile_counts),
+        pad_overflow=out.pad_overflow,
     )
 
 
@@ -241,4 +243,5 @@ def render_fast(
         num_instances=out.num_instances,
         max_area=out.max_area,
         max_tile_count=jnp.max(out.tile_counts),
+        pad_overflow=out.pad_overflow,
     )

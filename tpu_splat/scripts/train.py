@@ -281,6 +281,7 @@ def training(args, argv_namespace=None):
                 num_instances=int(aux.num_instances),
                 max_tile_count=int(aux.max_tile_count),
                 densify_overflow=log.overflowed - prev_overflow,
+                pad_overflow=int(aux.pad_overflow),
             )
             if dec.grew:
                 ts, cfg = dec.ts, dec.cfg

@@ -90,6 +90,7 @@ def check_growth(
     num_instances: int,
     max_tile_count: int,
     densify_overflow: int,
+    pad_overflow: int = 0,
     headroom: float = 0.9,
     factor: float = 1.5,
 ) -> GrowthDecision:
@@ -114,11 +115,27 @@ def check_growth(
         reasons.append(
             f"max_instances {cfg.max_instances} -> {changes['max_instances']}"
         )
+        if cfg.max_columns:
+            # an explicit level-1 (tile column) capacity must grow alongside:
+            # tight-mode column overflow is reported as num_instances >= cap,
+            # so growing only max_instances would leave the column overflow
+            # in place and grow capacity forever (round-3 advisor finding)
+            changes["max_columns"] = _round_up(
+                max(cfg.max_columns * factor, changes["max_instances"]), 4096
+            )
+            reasons.append(
+                f"max_columns {cfg.max_columns} -> {changes['max_columns']}"
+            )
     if max_tile_count > cfg.tile_depth and not cfg.use_pallas():
         # the XLA scan path truncates per-tile lists at tile_depth; the
         # Pallas path's aligned ranges are bounded only by max_instances
         changes["tile_depth"] = _round_up(max_tile_count * factor, cfg.chunk)
         reasons.append(f"tile_depth {cfg.tile_depth} -> {changes['tile_depth']}")
+    if pad_overflow > 0 and cfg.pad_per_tile < 128:
+        # budgeted pad capacity overflowed (see RasterConfig.pad_per_tile):
+        # escalate straight to the exact worst case
+        changes["pad_per_tile"] = 128
+        reasons.append(f"pad_per_tile {cfg.pad_per_tile} -> 128")
     if changes:
         new_cfg = dataclasses.replace(cfg, **changes)
 

@@ -97,6 +97,7 @@ class StepAux(NamedTuple):
     num_instances: jnp.ndarray
     max_tile_count: jnp.ndarray
     n_alive: jnp.ndarray
+    pad_overflow: jnp.ndarray
 
 
 def make_train_step(
@@ -249,6 +250,7 @@ def make_train_step(
             num_instances=out.num_instances,
             max_tile_count=out.max_tile_count,
             n_alive=new_g.num_alive,
+            pad_overflow=out.pad_overflow,
         )
         return (
             ts.replace(
@@ -348,6 +350,7 @@ def make_train_step_dp(
             diag = (
                 jax.lax.pmax(out.num_instances, dp_axis),
                 jax.lax.pmax(out.max_tile_count, dp_axis),
+                jax.lax.pmax(out.pad_overflow, dp_axis),
             )
             return gp, stat_contrib, diag, (loss, l1, ssim_v, normal_loss, mse)
 
@@ -411,6 +414,7 @@ def make_train_step_dp(
             num_instances=diag[0],
             max_tile_count=diag[1],
             n_alive=new_g.num_alive,
+            pad_overflow=diag[2],
         )
         return (
             ts.replace(
