@@ -80,13 +80,16 @@ def main():
     import jax
     import jax.numpy as jnp
     from tpu_splat.data import orbit_camera
-    from tpu_splat.raster.config import RasterConfig
+    from tpu_splat.raster.config import production_config
     from tpu_splat.renderer import render
 
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
         H, W, n, capacity = 1088, 1920, 1_000_000, 1 << 20
-        cfg = RasterConfig(
+        # the SHIPPED switch set (one config story: scripts/train.py
+        # defaults == this == validate_e2e's certified config); only the
+        # workload capacities are bench-sized here
+        cfg = production_config(
             max_tiles_per_gaussian=32,
             # the bench cloud emits 3,933,185 instances at this view — the
             # capacity covers them all (1.2% headroom; no silent truncation)
@@ -94,15 +97,14 @@ def main():
             tile_depth=2048,
             chunk=32,
             backend="pallas",
-            grad_channels="train",  # the reference training loss shape
-            bf16_grads=True,  # training-grade grad compression (see config)
-            bf16_feats=True,  # bf16 content rows: 16-row instance slab
         )
         iters = 10
     else:  # CPU smoke config
         H, W, n, capacity = 128, 128, 2000, 2048
-        cfg = RasterConfig(
-            max_tiles_per_gaussian=16, max_instances=1 << 15, tile_depth=256, chunk=16
+        cfg = production_config(
+            max_tiles_per_gaussian=16, max_instances=1 << 15, tile_depth=256,
+            chunk=16, bf16_grads=False, bf16_feats=False,
+            grad_channels="full",
         )
         iters = 2
 

@@ -111,6 +111,73 @@ def test_lpips_matches_reference_structure(tmp_path):
     assert model(a, a) == pytest.approx(0.0, abs=1e-6)
 
 
+def test_torch_map_writer_roundtrip(tmp_path):
+    """save_torch_state_dict emits a REAL torch.save-compatible zip: read
+    back both by actual torch.load (incl. weights_only safe mode — what a
+    reference install does at scene/gaussian_model.py:331-333) and by our
+    stdlib reader, bit-identical."""
+    from tpu_splat.model.torch_pickle import (
+        load_torch_state_dict,
+        save_torch_state_dict,
+    )
+
+    rng = np.random.default_rng(3)
+    d = {
+        "params.Cubemap_texture": rng.normal(size=(6, 3, 8, 8)).astype(
+            np.float32
+        ),
+        "params.Cubemap_failv": rng.normal(size=(3,)).astype(np.float32),
+    }
+    p = str(tmp_path / "model.map")
+    save_torch_state_dict(p, d)
+
+    via_torch = torch.load(p, map_location="cpu", weights_only=True)
+    via_ours = load_torch_state_dict(p)
+    for k, v in d.items():
+        np.testing.assert_array_equal(via_torch[k].numpy(), v)
+        np.testing.assert_array_equal(via_ours[k], v)
+
+
+def test_save_ply_reference_map_sidecar(tmp_path):
+    """save_ply writes BOTH sidecars; the torch-format .map round-trips
+    through load_envmap (the reference-interop path) with the identical
+    texture."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from tpu_splat.model import init_from_pcd
+    from tpu_splat.model.io import load_envmap, save_ply
+
+    rng = np.random.default_rng(4)
+    state = init_from_pcd(
+        rng.uniform(-1, 1, (16, 3)).astype(np.float32),
+        rng.uniform(0, 1, (16, 3)).astype(np.float32),
+        capacity=16,
+        cubemap_resolution=8,
+    )
+    p = str(tmp_path / "point_cloud.ply")
+    save_ply(state, p)
+    assert (tmp_path / "point_cloud.map").exists()
+    assert (tmp_path / "point_cloud.map.npz").exists()
+
+    env_t = load_envmap(str(tmp_path / "point_cloud.map"))
+    np.testing.assert_array_equal(
+        np.asarray(env_t.texture), np.asarray(state.env.texture)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(env_t.fail_value), np.asarray(state.env.fail_value)
+    )
+    sd = torch.load(
+        str(tmp_path / "point_cloud.map"), map_location="cpu",
+        weights_only=True,
+    )
+    np.testing.assert_array_equal(
+        sd["params.Cubemap_texture"].numpy(), np.asarray(state.env.texture)
+    )
+
+
 def test_lpips_fn_discovery(tmp_path, monkeypatch):
     """lpips_fn_or_none finds local weights via TORCH_HOME/LPIPS_WEIGHTS and
     returns None when either file is missing (GMSD fallback path)."""

@@ -124,6 +124,11 @@ class OptimizationParams(_Group):
     opac_lr0_interval: int = 200
     densification_interval_when_prop: int = 500
     longer_prop_iter: int = 0
+    # freeze xyz+rotation for the last N iterations (reference train.py:
+    # 232-233 hardcodes 10_000 of its 40k default run — on shorter
+    # schedules that would freeze geometry for the WHOLE run, so it is a
+    # parameter here; the default reproduces the reference)
+    freeze_xyz_last_iters: int = 10_000
 
     use_env_scope: bool = False
     env_scope_center: list = field(default_factory=lambda: [0.0, 0.0, 0.0])

@@ -64,6 +64,10 @@ def save_ply(state: GaussianState, path: str):
         f.write(attrs.tobytes())
 
     save_envmap(state.env, path.replace(".ply", ".map.npz"))
+    # reference-format torch sidecar as well: a reference install (or any
+    # 3DGS-DR-style viewer) opens models we trained —
+    # torch.load(<model>.map) == gaussian_model.py:331-333's read path
+    save_envmap_torch(state.env, path.replace(".ply", ".map"))
 
 
 def save_envmap(env: CubemapParams, path: str):
@@ -73,6 +77,22 @@ def save_envmap(env: CubemapParams, path: str):
             # reference torch state-dict key names (cubemap_encoder.py:93-96)
             "params.Cubemap_texture": np.asarray(env.texture),
             "params.Cubemap_failv": np.asarray(env.fail_value),
+        },
+    )
+
+
+def save_envmap_torch(env: CubemapParams, path: str):
+    """Write the cubemap as a torch.save-compatible state dict — the EXACT
+    sidecar format the reference persists next to its PLY
+    (scene/gaussian_model.py:261-262) and loads at :331-333. Stdlib zip +
+    hand-emitted pickle (model/torch_pickle.py), no torch import."""
+    from tpu_splat.model.torch_pickle import save_torch_state_dict
+
+    save_torch_state_dict(
+        path,
+        {
+            "params.Cubemap_texture": np.asarray(env.texture, np.float32),
+            "params.Cubemap_failv": np.asarray(env.fail_value, np.float32),
         },
     )
 

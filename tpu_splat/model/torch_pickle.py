@@ -112,6 +112,123 @@ def _contig_strides(size):
     return tuple(reversed(strides))
 
 
+_DTYPE_STORAGE = {
+    np.dtype("<f4"): "FloatStorage",
+    np.dtype("<f8"): "DoubleStorage",
+    np.dtype("<f2"): "HalfStorage",
+    np.dtype("<i8"): "LongStorage",
+    np.dtype("<i4"): "IntStorage",
+    np.dtype("<i2"): "ShortStorage",
+    np.dtype("i1"): "CharStorage",
+    np.dtype("u1"): "ByteStorage",
+    np.dtype("bool"): "BoolStorage",
+}
+
+
+class _PickleWriter:
+    """Hand-emitted pickle (protocol 2) for flat {str: ndarray} state dicts
+    in torch's tensor encoding — GLOBALs for torch._utils._rebuild_tensor_v2
+    and torch.<Type>Storage are written by NAME, so no torch import is
+    needed (pickle.Pickler would try to import them for verification)."""
+
+    def __init__(self):
+        self.out = io.BytesIO()
+        self.w = self.out.write
+
+    def global_(self, module: str, name: str):
+        self.w(b"c" + module.encode() + b"\n" + name.encode() + b"\n")
+
+    def int_(self, v: int):
+        if 0 <= v < 256:
+            self.w(b"K" + bytes([v]))  # BININT1
+        elif 0 <= v < 65536:
+            self.w(b"M" + v.to_bytes(2, "little"))  # BININT2
+        else:
+            self.w(b"J" + v.to_bytes(4, "little", signed=True))  # BININT
+
+    def str_(self, s: str):
+        b = s.encode("utf-8")
+        self.w(b"X" + len(b).to_bytes(4, "little") + b)  # BINUNICODE
+
+    def bool_(self, v: bool):
+        self.w(b"\x88" if v else b"\x89")  # NEWTRUE / NEWFALSE
+
+    def tuple_(self, emit_items):
+        n = len(emit_items)
+        if n <= 3:
+            for e in emit_items:
+                e()
+            self.w({0: b")", 1: b"\x85", 2: b"\x86", 3: b"\x87"}[n])
+        else:
+            self.w(b"(")
+            for e in emit_items:
+                e()
+            self.w(b"t")
+
+    def persid_storage(self, storage_name: str, key: str, numel: int):
+        # torch persistent id: ('storage', <StorageClass>, key, 'cpu', numel)
+        self.tuple_([
+            lambda: self.str_("storage"),
+            lambda: self.global_("torch", storage_name),
+            lambda: self.str_(key),
+            lambda: self.str_("cpu"),
+            lambda: self.int_(numel),
+        ])
+        self.w(b"Q")  # BINPERSID
+
+    def tensor(self, arr: np.ndarray, key: str):
+        dt = arr.dtype.newbyteorder("<")
+        storage_name = _DTYPE_STORAGE[np.dtype(dt)]
+        self.global_("torch._utils", "_rebuild_tensor_v2")
+        size = arr.shape
+        stride = _contig_strides(size)
+        self.tuple_([
+            lambda: self.persid_storage(storage_name, key, arr.size),
+            lambda: self.int_(0),  # storage offset
+            lambda: self.tuple_([(lambda v=v: self.int_(v)) for v in size]),
+            lambda: self.tuple_([(lambda v=v: self.int_(v)) for v in stride]),
+            lambda: self.bool_(False),  # requires_grad
+            lambda: (  # empty backward-hooks OrderedDict
+                self.global_("collections", "OrderedDict"),
+                self.w(b")"),
+                self.w(b"R"),
+            ),
+        ])
+        self.w(b"R")  # REDUCE
+
+    def state_dict(self, d: dict, keys: list[str]):
+        self.w(b"\x80\x02")  # PROTO 2
+        self.w(b"}")  # EMPTY_DICT
+        self.w(b"(")  # MARK
+        for k, storage_key in zip(d, keys):
+            self.str_(k)
+            self.tensor(np.ascontiguousarray(d[k]), storage_key)
+        self.w(b"u")  # SETITEMS
+        self.w(b".")  # STOP
+        return self.out.getvalue()
+
+
+def save_torch_state_dict(path: str, state: dict):
+    """Write {name: ndarray} as a torch.save-compatible zip (the format the
+    reference emits for its `.map` cubemap sidecar,
+    scene/gaussian_model.py:261-262) using only the stdlib — torch.load and
+    load_torch_state_dict both read it back. Round-trip tested against this
+    module's reader and (in tests, where torch is already imported for the
+    LPIPS fixture) against real torch.load."""
+    state = {
+        k: np.ascontiguousarray(np.asarray(v)) for k, v in state.items()
+    }
+    keys = [str(i) for i in range(len(state))]
+    pkl = _PickleWriter().state_dict(state, keys)
+    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_STORED) as zf:
+        zf.writestr("archive/data.pkl", pkl)
+        for key, arr in zip(keys, state.values()):
+            a = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+            zf.writestr(f"archive/data/{key}", a.tobytes())
+        zf.writestr("archive/version", "3\n")
+        zf.writestr("archive/byteorder", "little")
+
+
 def load_torch_state_dict(path: str) -> dict:
     """Read a torch.save'd (zip format, torch >= 1.6) object into plain
     numpy arrays. Returns the unpickled structure with tensors materialized

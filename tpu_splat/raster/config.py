@@ -120,5 +120,54 @@ class RasterConfig:
         return self.tile_depth // self.chunk
 
 
+def production_config(**overrides) -> RasterConfig:
+    """THE shipped training configuration — one config story.
+
+    scripts/train.py (CLI defaults), bench.py, and validate_e2e.py all
+    build their RasterConfig through this helper, so the benchmark number,
+    the quality certification, and the shipped trainer describe the same
+    switch set (round-3 verdict asked for byte-for-byte agreement):
+
+    - grad_channels="train": statically drop distortion/median cotangent
+      chains the reference training loss never reads
+    - bf16_grads / bf16_feats: bf16-packed gradient regroup + content rows
+      (quality-certified by VALID_r04; A/B vs exact f32 within 0.01 dB)
+    - tight_culling=False: the per-column conic decode costs more than it
+      saves at 1080p on v5e (see PERF.md); the feature stays available and
+      tested (PARITY.md D2) behind --tight_culling
+    - pad_per_tile=96: budgeted aligned-pad capacity (overflow-monitored)
+    - expand_mode="gather": fastest measured flat expansion on v5e
+
+    Capacity knobs (max_instances, tile_depth, ...) are workload-sized by
+    the caller via **overrides.
+    """
+    base = dict(
+        backend="auto",  # pallas on TPU, XLA scan on CPU
+        grad_channels="train",
+        bf16_grads=True,
+        bf16_feats=True,
+        tight_culling=False,
+        expand_mode="gather",
+        pad_per_tile=96,
+    )
+    base.update(overrides)
+    return RasterConfig(**base)
+
+
+def production_switches(cfg: RasterConfig) -> dict:
+    """The config block every artifact (BENCH_r*, VALID_r*) embeds — the
+    switch set that must agree across bench, validation, and the shipped
+    CLI (capacity knobs are workload-sized and excluded on purpose)."""
+    return {
+        "backend": cfg.backend,
+        "grad_channels": cfg.grad_channels,
+        "bf16_grads": cfg.bf16_grads,
+        "bf16_feats": cfg.bf16_feats,
+        "tight_culling": cfg.tight_culling,
+        "expand_mode": cfg.expand_mode,
+        "pad_per_tile": cfg.pad_per_tile,
+    }
+
+
 def tile_grid(height: int, width: int) -> tuple[int, int]:
     return (height + TILE - 1) // TILE, (width + TILE - 1) // TILE

@@ -32,7 +32,7 @@ def training(args, argv_namespace=None):
     from tpu_splat.data.scene import Scene
     from tpu_splat.model import init_from_pcd
     from tpu_splat.model.io import save_checkpoint, load_checkpoint
-    from tpu_splat.raster.config import RasterConfig
+    from tpu_splat.raster.config import RasterConfig, production_config
     from tpu_splat.train.step import TrainState, make_train_step
     from tpu_splat.train.loop import run_scheduled_events, is_scene_frozen, EventLog
     from tpu_splat.train.grow import check_growth
@@ -73,27 +73,27 @@ def training(args, argv_namespace=None):
         f"{len(pts)} points, capacity {capacity}, extent {scene.cameras_extent:.2f}"
     )
 
-    cfg = RasterConfig(
+    # the SHIPPED config (one config story): production_config carries the
+    # canonical switch set certified by VALID_r04 and measured by bench.py;
+    # only workload capacities and explicit user overrides vary here.
+    # --exact_grads / a nonzero depth_ratio fall back to the exact f32
+    # full-channel path (grad_channels="train" requires depth_ratio == 0).
+    exact = pipe.depth_ratio != 0.0 or bool(getattr(args, "exact_grads", False))
+    cfg = production_config(
         max_tiles_per_gaussian=args.max_tiles_per_gaussian,
         max_instances=args.max_instances,
         tile_depth=args.tile_depth,
         chunk=32,
         depth_ratio=pipe.depth_ratio,
-        # the training loss (step.py, mirroring reference train.py:168-196)
-        # never differentiates distortion/M1/M2/median channels; the
-        # train-shaped backward drops those chains (requires depth_ratio=0)
-        grad_channels="train" if pipe.depth_ratio == 0.0 else "full",
-        # bf16-compressed per-instance grad rows through the backward
-        # regroup (exact f32 per-Gaussian sums; --exact_grads disables)
-        bf16_grads=(pipe.depth_ratio == 0.0
-                    and not getattr(args, "exact_grads", False)),
-        bf16_feats=(pipe.depth_ratio == 0.0
-                    and not getattr(args, "exact_grads", False)),
+        **(
+            dict(grad_channels="full", bf16_grads=False, bf16_feats=False)
+            if exact
+            else {}
+        ),
         # per-column tight binning (PARITY.md D2): ~35-40% fewer instances
         # on anisotropic scenes, but the two-level decode currently costs
-        # more than the savings at 1080p (245 vs 71 ms whole-binning on
-        # v5e) — opt-in until kernels/run_expand.py closes that gap.
-        # Quality-certified either way (VALID_r03 A/B).
+        # more than the savings at 1080p — opt-in (quality-certified either
+        # way by the r3 A/B).
         tight_culling=bool(getattr(args, "tight_culling", False)),
     )
 

@@ -123,7 +123,7 @@ def make_train_step(
     lambda_dssim = opt_cfg.lambda_dssim
     lambda_normal = opt_cfg.lambda_normal
     refl_mask_loss_weight = 0.4  # train.py:60 refl_mask_loss_weight
-    freeze_xyz_from = opt_cfg.iterations - 10_000  # train.py:232-233
+    freeze_xyz_from = opt_cfg.iterations - opt_cfg.freeze_xyz_last_iters  # train.py:232-233
 
     def loss_fn(params, screen_offset, state: GaussianState, camera, gt_image,
                 gt_alpha, bg, initial_stage, frame_idx, frozen_f):

@@ -1,15 +1,36 @@
-"""End-to-end convergence validation (dev tool).
+"""End-to-end convergence validation — the quality certification artifact.
 
-Fits the full training pipeline (deferred-reflection render, jitted train
-step, scheduled events incl. densify/normal-prop/color-sabotage) to views
-rendered from a known ground-truth scene, then reports train-view and
-held-out-view PSNR. Passing bar: held-out PSNR >= 28 dB after ~3k steps.
+Two tasks, both run with the SHIPPED production config
+(tpu_splat.raster.config.production_config — identical switch block to
+scripts/train.py defaults and bench.py; the artifact embeds it):
 
-Scaled-down schedule of the reference defaults (arguments/__init__.py:79-124)
-so the whole run fits in minutes on one chip.
+  --task recover   Perturbation-recovery: start from the known-GT scene
+                   with every parameter jittered (xyz by ~0.5 sigma of
+                   scale, colors/opacity/refl/rotation/env noised), train
+                   WITHOUT densify, and require recovery to
+                   >= 35 dB train / >= 30 dB held-out. Certifies gradients
+                   + optimizer end-to-end at convergence precision.
+
+  --task scratch   From-scratch fit of a STRUCTURED, learnable GT scene
+                   (surfaces — floor plane + reflective sphere + matte
+                   blob — not a uniform random cloud) from a noisy
+                   surface point cloud, full schedule incl. densify /
+                   normal-prop / color-sabotage, >= 10k steps.
+                   Bar: held-out PSNR >= 28 dB.
+
+The GT is rendered by this renderer itself (no real datasets exist in the
+zero-egress image), so the certification measures optimization quality,
+not modeling error. Round-3's validation used a uniform random 3k-splat
+cloud on a 3k-step schedule — unlearnable by construction, and (found in
+round 4) the reference's freeze-xyz-for-the-last-10k rule froze geometry
+for the ENTIRE short run; both are fixed here (structured scene,
+freeze_xyz_last_iters scaled to the schedule).
+
+Smoke mode (E2E_SMOKE=1) runs a tiny CPU version of `scratch` for CI.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import time
@@ -17,56 +38,135 @@ import time
 import numpy as np
 
 SMOKE = os.environ.get("E2E_SMOKE", "") == "1"  # tiny CPU smoke run
-EXACT = os.environ.get("E2E_EXACT", "") == "1"  # A/B: f32 full-grad, rect binning
-VALID_OUT = os.environ.get("VALID_OUT", "")  # write a JSON artifact here
 
 
-def main():
-    import tpu_splat
+def _normal_quats(normals: np.ndarray) -> np.ndarray:
+    """Quaternions (w,x,y,z) rotating e_z to each normal — the surfel's
+    zero-thickness axis is the third column of R (preprocess.py)."""
+    n = normals / np.linalg.norm(normals, axis=-1, keepdims=True)
+    ez = np.array([0.0, 0.0, 1.0])
+    axis = np.cross(np.broadcast_to(ez, n.shape), n)
+    s = np.linalg.norm(axis, axis=-1, keepdims=True)
+    c = n[:, 2:3]
+    # halve the angle: q = (cos(a/2), axis_hat * sin(a/2))
+    w = np.sqrt(np.maximum((1.0 + c) / 2.0, 0.0))
+    sin_half = np.sqrt(np.maximum((1.0 - c) / 2.0, 0.0))
+    axis_hat = np.where(s > 1e-8, axis / np.maximum(s, 1e-12), ez)
+    q = np.concatenate([w, axis_hat * sin_half], axis=1)
+    # antiparallel normal (c ~ -1): rotate pi about x
+    q = np.where(c < -1.0 + 1e-8, np.array([[0.0, 1.0, 0.0, 0.0]]), q)
+    return q.astype(np.float32)
 
-    tpu_splat.setup_compilation_cache()
-    import jax
-    import jax.numpy as jnp
-    from tpu_splat.config import OptimizationParams
-    from tpu_splat.data.synthetic import random_scene, orbit_camera
-    from tpu_splat.envmap.cubemap import init_cubemap
-    from tpu_splat.model import init_from_pcd
-    from tpu_splat.model.state import GaussianState
-    from tpu_splat.core.sh import num_sh_coeffs
-    from tpu_splat.raster.config import RasterConfig
-    from tpu_splat.renderer import render
-    from tpu_splat.train.step import TrainState, make_train_step
-    from tpu_splat.train.loop import run_scheduled_events, EventLog
 
-    H = W = 64 if SMOKE else 256
-    n_gt = 200 if SMOKE else 3000
-    # non-smoke: the PRODUCTION training config (scripts/train.py defaults):
-    # train-shaped grads, bf16 grad regroup, per-column tight culling — this
-    # run is the quality certification for those switches
-    cfg = RasterConfig(
-        max_tiles_per_gaussian=16 if SMOKE else 64,
-        max_instances=1 << (14 if SMOKE else 19),
-        tile_depth=256 if SMOKE else 1024,
-        chunk=16 if SMOKE else 32, backend="pallas",
-        grad_channels="full" if EXACT else "train",
-        bf16_grads=not SMOKE and not EXACT,
-        bf16_feats=not SMOKE and not EXACT,
-        tight_culling=not SMOKE and not EXACT,
+def make_structured_scene(smoke: bool = False):
+    """Surface-structured GT scene: floor plane + reflective sphere +
+    matte ellipsoid, smooth color fields, surfel normals on the surfaces.
+    Returns (raw-param dict, surface sample points for init)."""
+    k = 0.35 if smoke else 1.0
+    rng = np.random.default_rng(11)
+
+    parts = []
+
+    # floor plane y = -1.2 over [-2, 2]^2
+    g = int(56 * k) | 1
+    u = np.linspace(-2.0, 2.0, g)
+    xx, zz = np.meshgrid(u, u, indexing="ij")
+    fl_xyz = np.stack([xx, np.full_like(xx, -1.2), zz], -1).reshape(-1, 3)
+    fl_n = np.tile([0.0, 1.0, 0.0], (len(fl_xyz), 1))
+    fl_col = np.stack(
+        [
+            0.45 + 0.3 * np.sin(1.7 * fl_xyz[:, 0]) * np.cos(1.3 * fl_xyz[:, 2]),
+            0.5 + 0.25 * np.cos(1.1 * fl_xyz[:, 0] + 0.8 * fl_xyz[:, 2]),
+            0.55 + 0.3 * np.sin(0.9 * fl_xyz[:, 2]),
+        ],
+        axis=1,
+    )
+    fl_scale = np.full((len(fl_xyz), 2), np.log(4.4 / g))
+    fl_refl = np.full((len(fl_xyz), 1), -4.0)
+    parts.append((fl_xyz, fl_n, fl_col, fl_scale, fl_refl))
+
+    # reflective sphere r=0.7 at (0, -0.25, 0) — fibonacci lattice
+    m = int(2400 * k * k)
+    i = np.arange(m) + 0.5
+    phi = np.arccos(1 - 2 * i / m)
+    theta = np.pi * (1 + 5**0.5) * i
+    sp_n = np.stack(
+        [np.sin(phi) * np.cos(theta), np.cos(phi), np.sin(phi) * np.sin(theta)],
+        axis=1,
+    )
+    sp_xyz = np.array([0.0, -0.25, 0.0]) + 0.7 * sp_n
+    ang = np.arctan2(sp_n[:, 2], sp_n[:, 0])
+    sp_col = np.stack(
+        [
+            0.55 + 0.25 * np.sin(2 * ang),
+            0.5 + 0.25 * np.cos(3 * sp_n[:, 1]),
+            0.6 + 0.2 * np.sin(2 * sp_n[:, 1] + ang),
+        ],
+        axis=1,
+    )
+    sp_scale = np.full((m, 2), np.log(0.055 / k))
+    sp_refl = np.full((m, 1), 1.5)  # sigmoid ~ 0.82: exercises deferred env
+    parts.append((sp_xyz, sp_n, sp_col, sp_scale, sp_refl))
+
+    # matte ellipsoid at (1.1, -0.75, 0.5), semi-axes (0.35, 0.45, 0.35)
+    m2 = int(1000 * k * k)
+    i = np.arange(m2) + 0.5
+    phi = np.arccos(1 - 2 * i / m2)
+    theta = np.pi * (1 + 5**0.5) * i
+    n2 = np.stack(
+        [np.sin(phi) * np.cos(theta), np.cos(phi), np.sin(phi) * np.sin(theta)],
+        axis=1,
+    )
+    ax = np.array([0.35, 0.45, 0.35])
+    el_xyz = np.array([1.1, -0.75, 0.5]) + ax * n2
+    el_n = n2 / ax  # gradient of the implicit ellipsoid
+    el_n /= np.linalg.norm(el_n, axis=-1, keepdims=True)
+    el_col = np.stack(
+        [
+            0.7 + 0.15 * np.sin(4 * n2[:, 1]),
+            0.35 + 0.1 * np.cos(3 * theta[:m2] / np.pi),
+            0.3 + 0.1 * n2[:, 1],
+        ],
+        axis=1,
+    )
+    el_scale = np.full((m2, 2), np.log(0.05 / k))
+    el_refl = np.full((m2, 1), -4.0)
+    parts.append((el_xyz, el_n, el_col, el_scale, el_refl))
+
+    xyz = np.concatenate([p[0] for p in parts]).astype(np.float32)
+    nrm = np.concatenate([p[1] for p in parts]).astype(np.float32)
+    col = np.concatenate([p[2] for p in parts]).astype(np.float32)
+    scl = np.concatenate([p[3] for p in parts]).astype(np.float32)
+    rfl = np.concatenate([p[4] for p in parts]).astype(np.float32)
+    col = np.clip(col, 0.02, 0.98)
+
+    from tpu_splat.core.sh import num_sh_coeffs, rgb_to_sh
+
+    n = len(xyz)
+    msh = num_sh_coeffs(3)
+    sh = np.zeros((n, msh, 3), np.float32)
+    sh[:, 0] = rgb_to_sh(col)
+    sh[:, 1:] = 0.03 * rng.normal(size=(n, msh - 1, 3))
+
+    return dict(
+        xyz=xyz,
+        rotation=_normal_quats(nrm),
+        scaling=scl,
+        opacity=np.full((n, 1), 4.0, np.float32),  # sigmoid ~ 0.982
+        sh=sh.astype(np.float32),
+        refl=rfl,
+        colors=col,
     )
 
-    # --- ground-truth scene: opaque cloud, some reflective, structured env
-    sc = random_scene(n_gt, seed=3, sh_degree=3, extent=1.0,
-                      scale_range=(0.02, 0.12))
-    rng = np.random.default_rng(5)
-    refl_raw = np.where(
-        rng.uniform(size=(n_gt, 1)) < 0.3,
-        rng.uniform(0.5, 2.0, (n_gt, 1)),   # sigmoid ~ 0.62..0.88
-        rng.uniform(-6.0, -3.0, (n_gt, 1)),
-    ).astype(np.float32)
-    m = num_sh_coeffs(3)
-    env = init_cubemap(jax.random.PRNGKey(7), 3, 32)
-    # structured env: smooth low-freq pattern, pre-activation scale +-2
-    tex = np.array(env.texture)  # writable copy
+
+def build_gt_state(jnp, jax, smoke: bool):
+    from tpu_splat.envmap.cubemap import init_cubemap
+    from tpu_splat.model.state import GaussianState
+
+    sc = make_structured_scene(smoke)
+    n = len(sc["xyz"])
+    env = init_cubemap(jax.random.PRNGKey(7), 3, 16 if smoke else 32)
+    tex = np.array(env.texture)
     L = tex.shape[-1]
     u = np.linspace(-1, 1, L)
     uu, vv = np.meshgrid(u, u, indexing="ij")
@@ -82,130 +182,281 @@ def main():
         features_rest=jnp.asarray(sc["sh"][:, 1:]),
         scaling=jnp.asarray(sc["scaling"]),
         rotation=jnp.asarray(sc["rotation"]),
-        opacity=jnp.asarray(np.full((n_gt, 1), 3.0, np.float32)),
-        refl=jnp.asarray(refl_raw),
+        opacity=jnp.asarray(sc["opacity"]),
+        refl=jnp.asarray(sc["refl"]),
         env=env,
-        alive=jnp.ones(n_gt, bool),
+        alive=jnp.ones(n, bool),
         active_sh_degree=jnp.asarray(3, np.int32),
         max_sh_degree=3,
     )
+    return gt_state, sc
 
-    n_views, n_test = 28, 4
-    cams = [
-        orbit_camera(H, W, radius=3.5, azimuth=2 * np.pi * i / (n_views + n_test),
-                     elevation=0.35 * np.sin(2.2 * i) + 0.15)
-        for i in range(n_views + n_test)
+
+def make_cameras(H, W, n_views, n_test):
+    from tpu_splat.data.synthetic import orbit_camera
+
+    total = n_views + n_test
+    return [
+        orbit_camera(
+            H, W, radius=4.2,
+            azimuth=2 * np.pi * i / total,
+            elevation=0.30 + 0.22 * np.sin(2.2 * i),
+            target=(0.2, -0.45, 0.1),
+        )
+        for i in range(total)
     ]
+
+
+def evaluate(jax, jnp, render, cfg, bg, gaussians, cams, gts, n_views, n_test):
+    @jax.jit
+    def eval_render(g, camera):
+        return render(g, camera, cfg, bg, initial_stage=False).render
+
+    def psnr(a, b):
+        return -10 * np.log10(np.mean((np.asarray(a) - b) ** 2) + 1e-12)
+
+    tr = [
+        psnr(eval_render(gaussians, cams[i]), gts[i])
+        for i in range(0, n_views, max(n_views // 6, 1))
+    ]
+    te = [
+        psnr(eval_render(gaussians, cams[i]), gts[i])
+        for i in range(n_views, n_views + n_test)
+    ]
+    return float(np.mean(tr)), [float(x) for x in te]
+
+
+def train_loop(jax, jnp, step_fn, ts, opt, cams, gts, n_views, bg, log, curve):
+    from tpu_splat.train.loop import run_scheduled_events
+
+    rng = np.random.default_rng(5)
+    t0 = time.time()
+    order = rng.permutation(n_views)
+    for it in range(1, opt.iterations + 1):
+        if (it - 1) % n_views == 0:
+            order = rng.permutation(n_views)
+        vi = int(order[(it - 1) % n_views])
+        ts, aux = step_fn(ts, cams[vi], jnp.asarray(gts[vi]), bg)
+        ts = run_scheduled_events(
+            ts, it, opt, cameras_extent=2.6, cameras_mean=np.zeros(3), log=log
+        )
+        if it % 500 == 0 or it == 1:
+            curve.append((it, round(float(aux.psnr), 3)))
+            print(
+                f"it {it:5d} loss {float(aux.loss):.4f} psnr {float(aux.psnr):5.2f} "
+                f"alive {int(aux.n_alive)} inst {int(aux.num_instances)} "
+                f"({time.time() - t0:.0f}s)",
+                flush=True,
+            )
+    return ts, time.time() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", choices=["recover", "scratch"], default="scratch")
+    ap.add_argument("--out", default=os.environ.get("VALID_OUT", ""))
+    ap.add_argument("--iterations", type=int, default=0, help="override")
+    args = ap.parse_args()
+
+    import tpu_splat
+
+    tpu_splat.setup_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from tpu_splat.config import OptimizationParams
+    from tpu_splat.model import init_from_pcd
+    from tpu_splat.raster.config import production_config, production_switches
+    from tpu_splat.renderer import render
+    from tpu_splat.train.loop import EventLog
+    from tpu_splat.train.step import TrainState, make_train_step
+
+    H = W = 64 if SMOKE else 256
+    # THE shipped switch block (see production_config); only capacities are
+    # sized to this workload
+    cfg = production_config(
+        max_tiles_per_gaussian=16 if SMOKE else 64,
+        max_instances=1 << (14 if SMOKE else 20),
+        tile_depth=256 if SMOKE else 1024,
+        chunk=16 if SMOKE else 32,
+        backend="pallas",
+        **(
+            dict(grad_channels="full", bf16_grads=False, bf16_feats=False)
+            if SMOKE
+            else {}
+        ),
+    )
+
+    gt_state, sc = build_gt_state(jnp, jax, SMOKE)
+    n_gt = len(sc["xyz"])
+    n_views, n_test = (12, 2) if SMOKE else (48, 6)
+    cams = make_cameras(H, W, n_views, n_test)
     bg = jnp.zeros(3)
 
     @jax.jit
     def gt_render(camera):
         return render(gt_state, camera, cfg, bg, initial_stage=False).render
 
-    print("rendering GT views...", flush=True)
+    print(f"rendering {n_views + n_test} GT views of {n_gt} surfels...",
+          flush=True)
     gts = [np.asarray(gt_render(c)) for c in cams]
     print(f"GT mean intensity {np.mean(gts):.3f}", flush=True)
 
-    # --- train from a perturbed pointcloud
     opt = OptimizationParams()
-    opt.iterations = 40 if SMOKE else 3000
-    opt.init_until_iter = 5 if SMOKE else 100
-    opt.densify_from_iter = 10 if SMOKE else 300
-    opt.densify_until_iter = 30 if SMOKE else 1800
-    opt.densification_interval = 5 if SMOKE else opt.densification_interval
-    opt.densification_interval_when_prop = (
-        5 if SMOKE else opt.densification_interval_when_prop
-    )
-    opt.opacity_reset_interval = 25 if SMOKE else 900
-    opt.normal_prop_until_iter = 30 if SMOKE else 1800
-    opt.color_sabotage_until_iter = 30 if SMOKE else 1800
-    opt.normal_prop_interval = 10 if SMOKE else 500
-    opt.color_sabotage_interval = 10 if SMOKE else 500
-    opt.feature_rest_from_iter = 15 if SMOKE else 600
-    opt.position_lr_max_steps = opt.iterations
+    rng = np.random.default_rng(9)
 
-    pts = sc["xyz"] + rng.normal(0, 0.03, sc["xyz"].shape).astype(np.float32)
-    cols = rng.uniform(0, 1, (n_gt, 3)).astype(np.float32)
-    state = init_from_pcd(
-        pts, cols, capacity=1 << (9 if SMOKE else 14), cubemap_resolution=32,
-        max_sh_degree=3, init_refl_value=opt.refl_init_value,
-    )
+    if args.task == "recover":
+        # ---- perturbation recovery: jitter every parameter of the GT ----
+        opt.iterations = args.iterations or (40 if SMOKE else 2500)
+        opt.init_until_iter = 0
+        opt.densify_from_iter = 10**9
+        opt.densify_until_iter = 0
+        opt.opacity_reset_interval = 10**9
+        opt.disable_normal_propagation = True
+        opt.disable_color_sabotage = True
+        opt.opac_lr0_interval = 0
+        opt.feature_rest_from_iter = 0
+        opt.freeze_xyz_last_iters = 0  # geometry must move to recover
+        opt.position_lr_max_steps = opt.iterations
+
+        cap = 1 << int(np.ceil(np.log2(n_gt)))
+        scale_sigma = np.exp(np.asarray(gt_state.scaling)).mean(axis=1, keepdims=True)
+
+        def pad(a, fill=0.0):
+            out = np.full((cap,) + a.shape[1:], fill, np.float32)
+            out[:n_gt] = np.asarray(a)
+            return jnp.asarray(out)
+
+        pert = dict(
+            xyz=np.asarray(gt_state.xyz)
+            + 0.5 * scale_sigma * rng.normal(size=(n_gt, 3)),
+            features_dc=np.asarray(gt_state.features_dc)
+            + 0.15 * rng.normal(size=(n_gt, 1, 3)),
+            features_rest=np.asarray(gt_state.features_rest)
+            + 0.05 * rng.normal(size=gt_state.features_rest.shape),
+            scaling=np.asarray(gt_state.scaling)
+            + 0.2 * rng.normal(size=(n_gt, 2)),
+            rotation=np.asarray(gt_state.rotation)
+            + 0.08 * rng.normal(size=(n_gt, 4)),
+            opacity=np.asarray(gt_state.opacity)
+            + 0.75 * rng.normal(size=(n_gt, 1)),
+            refl=np.asarray(gt_state.refl) + 0.5 * rng.normal(size=(n_gt, 1)),
+        )
+        alive = np.zeros(cap, bool)
+        alive[:n_gt] = True
+        env_p = gt_state.env._replace(
+            texture=gt_state.env.texture
+            + 0.3 * jnp.asarray(rng.normal(size=gt_state.env.texture.shape),
+                                jnp.float32)
+        )
+        from tpu_splat.model.state import GaussianState
+
+        state = GaussianState(
+            xyz=pad(pert["xyz"]),
+            features_dc=pad(pert["features_dc"]),
+            features_rest=pad(pert["features_rest"]),
+            scaling=pad(pert["scaling"], fill=-10.0),
+            rotation=pad(pert["rotation"]).at[n_gt:, 0].set(1.0),
+            opacity=pad(pert["opacity"], fill=-10.0),
+            refl=pad(pert["refl"], fill=-10.0),
+            env=env_p,
+            alive=jnp.asarray(alive),
+            active_sh_degree=jnp.asarray(3, np.int32),
+            max_sh_degree=3,
+        )
+        bars = {"train": 35.0, "held_out": 30.0}
+    else:
+        # ---- from-scratch: noisy surface point cloud, full schedule ----
+        opt.iterations = args.iterations or (40 if SMOKE else 10_000)
+        it = opt.iterations
+        opt.init_until_iter = max(it // 33, 3)
+        opt.densify_from_iter = max(it // 20, 5)
+        opt.densify_until_iter = it // 2
+        opt.opacity_reset_interval = max(3 * it // 10, 10)
+        opt.normal_prop_until_iter = 3 * it // 5
+        opt.color_sabotage_until_iter = 3 * it // 5
+        opt.normal_prop_interval = max(it // 20, 5)
+        opt.color_sabotage_interval = max(it // 20, 5)
+        opt.feature_rest_from_iter = it // 5
+        opt.freeze_xyz_last_iters = it // 4  # reference ratio (10k of 40k)
+        opt.position_lr_max_steps = it
+
+        sel = rng.choice(n_gt, min(300 if SMOKE else 3000, n_gt), replace=False)
+        pts = sc["xyz"][sel] + rng.normal(0, 0.04, (len(sel), 3)).astype(
+            np.float32
+        )
+        cols = np.clip(
+            sc["colors"][sel] + 0.1 * rng.normal(size=(len(sel), 3)), 0, 1
+        ).astype(np.float32)
+        state = init_from_pcd(
+            pts, cols,
+            capacity=1 << (9 if SMOKE else 15),
+            cubemap_resolution=16 if SMOKE else 32,
+            max_sh_degree=3,
+            init_refl_value=opt.refl_init_value,
+        )
+        bars = {"held_out": 28.0}
+
     ts = TrainState.create(state, opt)
-    step_fn = jax.jit(make_train_step(opt, cfg, spatial_lr_scale=3.5))
+    step_fn = jax.jit(make_train_step(opt, cfg, spatial_lr_scale=4.2))
 
     log = EventLog()
-    t0 = time.time()
-    order = rng.permutation(n_views)
-    curve = []  # (iteration, train-batch psnr) samples for the artifact
-    for it in range(1, opt.iterations + 1):
-        if (it - 1) % n_views == 0:
-            order = rng.permutation(n_views)
-        vi = int(order[(it - 1) % n_views])
-        ts, aux = step_fn(ts, cams[vi], jnp.asarray(gts[vi]), bg)
-        ts = run_scheduled_events(ts, it, opt, cameras_extent=2.2,
-                                  cameras_mean=np.zeros(3), log=log)
-        if it % 250 == 0 or it == 1:
-            curve.append((it, round(float(aux.psnr), 3)))
-            print(
-                f"it {it:5d} loss {float(aux.loss):.4f} psnr {float(aux.psnr):5.2f} "
-                f"alive {int(aux.n_alive)} inst {int(aux.num_instances)} "
-                f"({time.time()-t0:.0f}s)",
-                flush=True,
-            )
-    print(f"events: densified {log.densified} pruned {log.pruned} "
-          f"overflow {log.overflowed} n_events {len(log.events)}", flush=True)
+    curve = []
+    ts, wall = train_loop(
+        jax, jnp, step_fn, ts, opt, cams, gts, n_views, bg, log, curve
+    )
+    print(
+        f"events: densified {log.densified} pruned {log.pruned} "
+        f"overflow {log.overflowed} n_events {len(log.events)}",
+        flush=True,
+    )
 
-    @jax.jit
-    def eval_render(g, camera):
-        return render(g, camera, cfg, bg, initial_stage=False).render
-
-    def psnr(a, b):
-        return -10 * np.log10(np.mean((np.asarray(a) - b) ** 2))
-
-    tr = [psnr(eval_render(ts.gaussians, cams[i]), gts[i]) for i in range(0, n_views, 7)]
-    te = [psnr(eval_render(ts.gaussians, cams[i]), gts[i])
-          for i in range(n_views, n_views + n_test)]
-    print(f"train-view PSNR {np.mean(tr):.2f}  held-out PSNR {np.mean(te):.2f}",
-          flush=True)
-    verdict = "PASS" if np.mean(te) >= 28.0 else "BELOW-BAR"
+    tr, te_list = evaluate(
+        jax, jnp, render, cfg, bg, ts.gaussians, cams, gts, n_views, n_test
+    )
+    te = float(np.mean(te_list))
+    print(f"train-view PSNR {tr:.2f}  held-out PSNR {te:.2f}", flush=True)
+    ok = te >= bars["held_out"] and (tr >= bars.get("train", 0.0))
+    verdict = "PASS" if ok else "BELOW-BAR"
     print(verdict, flush=True)
-    if VALID_OUT:
-        import jax as _jax
 
+    if args.out:
         artifact = {
-            "backend": _jax.devices()[0].platform,
-            "device": str(_jax.devices()[0]),
+            "task": args.task,
+            "backend": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]),
             "raster_backend": "pallas",
-            "config": {
+            "config": production_switches(cfg),
+            "workload": {
                 "H": H, "W": W, "n_gt": n_gt, "iterations": opt.iterations,
-                "sh_degree": 3, "densify": True, "normal_prop": True,
-                "color_sabotage": True, "max_instances": cfg.max_instances,
-                "grad_channels": cfg.grad_channels,
-                "bf16_grads": cfg.bf16_grads,
-                "bf16_feats": cfg.bf16_feats,
-                "tight_culling": cfg.tight_culling,
+                "sh_degree": 3, "max_instances": cfg.max_instances,
+                "views": n_views, "held_out_views": n_test,
+                "scene": "structured (floor plane + reflective sphere + "
+                         "matte ellipsoid)",
             },
             "psnr_curve": curve,
-            "train_view_psnr": round(float(np.mean(tr)), 3),
-            "held_out_psnr": round(float(np.mean(te)), 3),
-            "held_out_per_view": [round(float(x), 3) for x in te],
-            "bar": 28.0,
+            "train_view_psnr": round(tr, 3),
+            "held_out_psnr": round(te, 3),
+            "held_out_per_view": [round(x, 3) for x in te_list],
+            "bars": bars,
             "verdict": verdict,
             "events": {
                 "densified": log.densified, "pruned": log.pruned,
                 "overflowed": log.overflowed, "n_events": len(log.events),
             },
-            "wall_seconds": round(time.time() - t0, 1),
+            "wall_seconds": round(wall, 1),
             "note": (
-                "Synthetic known-GT scene (no real datasets exist in this "
-                "zero-egress image, so no reference-trained PLY A/B is "
-                "possible); full pipeline incl. densify/normal-prop/"
-                "color-sabotage on the default Pallas backend."
+                "Known-GT scene rendered by this renderer (no real datasets "
+                "exist in the zero-egress image). 'recover' certifies "
+                "gradient/optimizer fidelity at convergence precision; "
+                "'scratch' certifies the full schedule (densify, normal "
+                "propagation, color sabotage, env doubling) on a learnable "
+                "surface scene. Config block == scripts/train.py defaults "
+                "== bench.py (one config story)."
             ),
         }
-        with open(VALID_OUT, "w") as f:
+        with open(args.out, "w") as f:
             json.dump(artifact, f, indent=1)
-        print(f"wrote {VALID_OUT}", flush=True)
+        print(f"wrote {args.out}", flush=True)
 
 
 if __name__ == "__main__":
