@@ -73,7 +73,74 @@ def build_state(n, capacity, seed=0, scale_mu=-4.8, scale_sigma=0.5, cubemap=64)
     )
 
 
+def build_state_from_checkpoint(path, target_n, capacity):
+    """Trained-distribution bench load: tile a trained PLY snapshot (e.g.
+    the VALID_r04 scratch end state via validate_e2e --save_state) out to
+    ~target_n Gaussians by replicating the scene on a jittered grid of
+    rigid offsets. Screen-footprint / opacity / orientation statistics stay
+    those of an ACTUAL trained model rather than a synthetic cloud."""
+    import jax.numpy as jnp
+    import numpy as np
+    from tpu_splat.model.io import load_ply
+
+    base = load_ply(path)
+    alive = np.asarray(base.alive)
+    n0 = int(alive.sum())
+    reps = max(1, int(np.ceil(target_n / n0)))
+    rng = np.random.default_rng(0)
+    xyz0 = np.asarray(base.xyz)[alive]
+    center = xyz0.mean(axis=0)
+    extent = (xyz0.max(axis=0) - xyz0.min(axis=0)).max()
+    side = int(np.ceil(reps ** (1 / 3)))
+    cells = np.stack(
+        np.meshgrid(*[np.arange(side)] * 3, indexing="ij"), -1
+    ).reshape(-1, 3)[:reps]
+    # overlap the copies (0.55 spacing) so per-pixel contributor depth
+    # resembles one dense scene, not isolated islands
+    offs = (cells - cells.mean(0)) * extent * 0.55
+    offs += 0.07 * extent * rng.normal(size=offs.shape)
+
+    def tile(a):
+        return np.concatenate([np.asarray(a)[alive]] * reps)[:target_n]
+
+    xyz = np.concatenate([xyz0 - center + o for o in offs])[:target_n]
+    # rescale the whole arrangement into the bench camera's view box
+    span = np.abs(xyz).max()
+    scale = 2.4 / max(span, 1e-6)
+    xyz = xyz * scale
+    scaling = tile(base.scaling) + np.log(scale)
+    n = xyz.shape[0]
+
+    def pad(a, fill=0.0):
+        out = np.full((capacity,) + a.shape[1:], fill, dtype=np.float32)
+        out[:n] = a
+        return jnp.asarray(out)
+
+    alive_out = np.zeros(capacity, bool)
+    alive_out[:n] = True
+    return base.replace(
+        xyz=pad(xyz),
+        features_dc=pad(tile(base.features_dc)),
+        features_rest=pad(tile(base.features_rest)),
+        scaling=pad(scaling, fill=-10.0),
+        rotation=pad(tile(base.rotation)).at[n:, 0].set(1.0),
+        opacity=pad(tile(base.opacity), fill=-10.0),
+        refl=pad(tile(base.refl), fill=-10.0),
+        alive=jnp.asarray(alive_out),
+    ), n
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--checkpoint", default="",
+        help="trained PLY snapshot; bench on its tiled distribution "
+        "instead of the synthetic cloud",
+    )
+    cli = ap.parse_args()
+
     import tpu_splat
 
     tpu_splat.setup_compilation_cache()
@@ -108,7 +175,13 @@ def main():
         )
         iters = 2
 
-    state = build_state(n, capacity)
+    load = "synthetic"
+    n_real = n
+    if cli.checkpoint:
+        state, n_real = build_state_from_checkpoint(cli.checkpoint, n, capacity)
+        load = "trained"
+    else:
+        state = build_state(n, capacity)
     cam = orbit_camera(H, W, radius=6.0, azimuth=0.4, elevation=0.3)
     bg = jnp.zeros(3)
     rng = np.random.default_rng(1)
@@ -149,6 +222,8 @@ def main():
 
     px_per_s = H * W / dt
     baseline = 62.2e6  # 30 fps * 1920*1080 forward-only (reference README:14)
+    from tpu_splat.raster.config import production_switches
+
     print(
         json.dumps(
             {
@@ -156,6 +231,10 @@ def main():
                 "value": round(px_per_s, 1),
                 "unit": "pixels/s",
                 "vs_baseline": round(px_per_s / baseline, 4),
+                # extra context keys (the driver reads the four above):
+                "load": load,  # synthetic cloud vs trained-checkpoint tiling
+                "n_gaussians": n_real,
+                "config": production_switches(cfg),
             }
         )
     )

@@ -145,3 +145,44 @@ def test_camera_batch_dp_matches_mean_of_singles():
     )
     # parameters actually moved
     assert not np.allclose(np.asarray(ts2.gaussians.xyz), np.asarray(ts.gaussians.xyz))
+
+
+def test_sharded_binning_production_switches():
+    """The fully-sharded tile-slab pipeline (binning+pack+blend per chip,
+    raster/sharded.py) under the PRODUCTION switch set (train-shaped grads,
+    bf16 regroup + content rows) matches single-device to bf16 tolerance,
+    and per-Gaussian gradient psum is exact across the 8-way mesh."""
+    from tpu_splat.raster.config import production_config
+
+    state, cam = _setup(n=50, capacity=64)
+    mesh = make_mesh(8)
+    prod = production_config(
+        max_tiles_per_gaussian=16, max_instances=4096, tile_depth=256,
+        chunk=16, backend="pallas",
+    )
+    bg = jnp.zeros(3)
+    o1 = render(state, cam, prod, bg, initial_stage=False)
+    o8 = render(state, cam, prod, bg, initial_stage=False, mesh=mesh)
+    # bf16 content rows: forward content channels carry ~2^-9 rounding but
+    # the INSTANCE SETS must agree, so the images agree to bf16 tolerance
+    np.testing.assert_allclose(o8.render, o1.render, atol=5e-3)
+    np.testing.assert_allclose(o8.alpha, o1.alpha, atol=1e-5)
+    np.testing.assert_allclose(
+        o8.gaussian_weights, o1.gaussian_weights, atol=1e-5
+    )
+
+    def loss(params, mesh):
+        s = state.with_params(params)
+        o = render(s, cam, prod, bg, initial_stage=False, mesh=mesh)
+        return jnp.mean((o.render - 0.3) ** 2)
+
+    p = state.param_pytree()
+    g1 = jax.grad(loss)(p, None)
+    g8 = jax.grad(loss)(p, mesh)
+    for k in g1:
+        a, b = np.asarray(g1[k]), np.asarray(g8[k])
+        assert not np.any(np.isnan(b)), k
+        scale = np.abs(a).max() + 1e-8
+        # per-shard bf16 rounding differs from single-device rounding only
+        # through which instances share a packed pair — tolerance covers it
+        np.testing.assert_allclose(b / scale, a / scale, atol=5e-3, err_msg=k)

@@ -53,17 +53,17 @@ def main():
 
     assert jax.device_count() >= 8, f"need 8 virtual devices, got {jax.device_count()}"
 
-    H = W = 128
-    n = 3000
+    H = W = 192
+    n = 12000
     cfg = RasterConfig(
-        max_tiles_per_gaussian=16, max_instances=1 << 16, tile_depth=512,
+        max_tiles_per_gaussian=16, max_instances=1 << 17, tile_depth=1024,
         chunk=16, backend="pallas",
     )
     rng = np.random.default_rng(0)
     sc = random_scene(n, seed=1, sh_degree=3)
     state = init_from_pcd(
         np.asarray(sc["xyz"]), rng.uniform(0, 1, (n, 3)).astype(np.float32),
-        capacity=1 << 12, cubemap_resolution=16, max_sh_degree=3,
+        capacity=1 << 14, cubemap_resolution=16, max_sh_degree=3,
     )
     opt_cfg = OptimizationParams()
     ts = TrainState.create(state, opt_cfg)
@@ -116,46 +116,80 @@ def main():
             ca = compiled.cost_analysis()
             ca = ca[0] if isinstance(ca, list) else ca
             flops = float(ca.get("flops", float("nan")))
-            dt = chained_time(fn, args)
-            rows.append((mode, ndev, flops, dt))
+            nbytes = float(ca.get("bytes accessed", float("nan")))
+            # wall-clock is meaningless on 8 virtual devices over 2 cores
+            # and interpret-mode pallas takes minutes per step at this
+            # scale; opt in with SCALING_WALL=1
+            dt = (
+                chained_time(fn, args)
+                if os.environ.get("SCALING_WALL") == "1"
+                else float("nan")
+            )
+            rows.append((mode, ndev, flops, nbytes, dt))
             print(
                 f"{mode:5s} x{ndev}: per-device GFLOP {flops/1e9:8.3f}  "
                 f"wall {dt*1000:8.1f} ms/step", flush=True,
             )
 
-    base = {m: next(r[2] for r in rows if r[0] == m and r[1] == 1)
-            for m in ("tiles", "dp")}
+    base = {
+        m: next((r[2], r[3]) for r in rows if r[0] == m and r[1] == 1)
+        for m in ("tiles", "dp")
+    }
     lines = [
-        "# SCALING — 8-way virtual-mesh table (CPU, "
+        "# SCALING v2 — 8-way virtual-mesh table (CPU, "
         "`--xla_force_host_platform_device_count=8`)",
         "",
-        "Per-device compiled FLOPs of the REAL jitted train step "
-        "(`make_train_step(mesh=...)` / `make_train_step_dp`) as the mesh "
-        "grows — under SPMD the compiled module is the per-device program, "
-        "so this measures how much of the step shards vs replicates. "
-        f"Scene: {n} Gaussians, {H}x{W}, cap {1 << 12}. "
+        "Per-device compiled FLOPs and bytes-accessed of the REAL jitted "
+        "train step (`make_train_step(mesh=...)` / `make_train_step_dp`) as "
+        "the mesh grows — under SPMD the compiled module IS the per-device "
+        "program. "
+        f"Scene: {n} Gaussians, {H}x{W}, instance cap {1 << 17}. "
         "Wall-clock is recorded for sanity only: the 8 virtual devices "
         "share 2 physical cores here, so wall speedup is not measurable on "
         "this host; chip-level scaling must come from a pod slice (the "
         "driver's `dryrun_multichip` certifies the same program).",
         "",
-        "| mode | devices | per-device GFLOP | vs 1-dev | wall ms/step |",
-        "|------|---------|------------------|----------|--------------|",
+        "| mode | devices | per-device GFLOP | vs 1-dev | per-device GB | vs 1-dev | wall ms/step |",
+        "|------|---------|------------------|----------|---------------|----------|--------------|",
     ]
-    for mode, ndev, flops, dt in rows:
+    for mode, ndev, flops, nbytes, dt in rows:
         lines.append(
             f"| {mode} | {ndev} | {flops/1e9:.3f} | "
-            f"{flops/base[mode]:.3f}x | {dt*1000:.1f} |"
+            f"{flops/base[mode][0]:.3f}x | {nbytes/1e9:.3f} | "
+            f"{nbytes/base[mode][1]:.3f}x | {dt*1000:.1f} |"
         )
     lines += [
         "",
-        "Reading: `tiles` shards the blend sweep (its FLOPs drop toward "
-        "1/N) while binning/sort/pack replicate per chip (the flat "
-        "remainder); `dp` keeps per-device FLOPs ~constant while stepping "
-        "N cameras at once (N x throughput at fixed per-chip work, grads "
-        "pmean'd).",
+        "## What shards, what replicates (round 4: fully-sharded binning)",
         "",
-        f"Generated by tools/scaling_table.py.",
+        "Since round 4 the ENTIRE instance stream runs per-chip inside one "
+        "shard_map (`raster/sharded.py`): each chip clips Gaussian rects to "
+        "its slab of tile rows, expands/sorts/packs only its own instances "
+        "at a per-chip capacity of max_instances/N, runs the Pallas blend "
+        "kernel pair on its tiles, and regroups its own instance gradients; "
+        "ONE psum of the [P, F] per-Gaussian gradient table is the only "
+        "collective. The deferred-reflection env pass (reflect + cubemap "
+        "sample + texel-grad accumulation) also shards, over pixel rows, "
+        "with a psum of the small texel-gradient table.",
+        "",
+        "Replicated by design (SURVEY 2.16: Gaussians replicated): O(P) "
+        "model-scale work — preprocess (~2 ms at 1M Gaussians on a v5e), "
+        "the depth argsort, per-Gaussian un-rank gathers, the optimizer "
+        "update, and the O(pixels) loss tail. Everything O(instances) — "
+        "the dominant cost at production scale (binning ~52 ms, pack "
+        "~29 ms, blend ~133 ms, regroup ~55 ms vs ~2 ms preprocess at "
+        "1080p/1M/4M instances) — is 1/N per chip.",
+        "",
+        "METRIC CAVEAT: XLA cost analysis on this CPU backend assigns ZERO "
+        "flops to the ops that dominate the sharded work on TPU (lax.sort, "
+        "gathers, and Pallas custom calls), so the FLOPs column "
+        "under-credits sharding; bytes-accessed is the more faithful proxy "
+        "for the instance stream, and the per-chip instance CAPACITY "
+        "(max_instances/N, enforced by raster/sharded.py) is exact by "
+        "construction. `dp` keeps per-device work ~constant while stepping "
+        "N cameras at once (N x throughput at fixed per-chip work).",
+        "",
+        "Generated by tools/scaling_table.py.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "SCALING.md")

@@ -238,8 +238,38 @@ def _kernel_ok(M: int, C: int) -> bool:
 # tap-accumulation kernel keeps only the BACKWARD (texel-gradient) side.
 
 
-def _sample4_impl(tex_flat, kx, ky, vert, idx4, sep_i, sep_m):
+def _sample4_impl(tex_flat, kx, ky, vert, idx4, sep_i, sep_m, quad=False):
     w4, wx4, wy4 = _w4_terms(kx, ky, vert)
+    if quad:
+        # QUAD-TEXTURE forward: the 4 bilinear taps are always the 2x2
+        # block at (x0, y0) on the padded face (xp1 = xp0+1, yp1 = yp0+1 by
+        # construction in the seamless path), so gather them as ONE
+        # [B]-row gather of 4C-wide rows from an overlapping-2x2 re-layout
+        # of the texture — XLA row gathers are per-row-latency bound, and
+        # this takes 1/4 the rows of the [4, B] tap gather (~15 ms -> ~6 ms
+        # env fwd at 1080p on v5e). Exact: same taps, same weights.
+        M, C = tex_flat.shape
+        L2 = int(round((M / 6) ** 0.5))
+        assert 6 * L2 * L2 == M
+        tex2 = tex_flat.reshape(6, L2, L2, C)
+        quad_t = jnp.concatenate(
+            [
+                tex2[:, :-1, :-1],
+                tex2[:, :-1, 1:],
+                tex2[:, 1:, :-1],
+                tex2[:, 1:, 1:],
+            ],
+            axis=-1,
+        ).reshape(6 * (L2 - 1) * (L2 - 1), 4 * C)
+        r0, xp0 = sep_i[0], sep_i[2]
+        f = r0 // L2
+        y0 = r0 - f * L2
+        v4 = quad_t[(f * (L2 - 1) + y0) * (L2 - 1) + xp0]  # [..., 4C]
+        taps = [v4[..., t * C : (t + 1) * C] for t in range(4)]
+        out = sum(w4[t][..., None] * taps[t] for t in range(4))
+        gx = sum(wx4[t][..., None] * taps[t] for t in range(4))
+        gy = sum(wy4[t][..., None] * taps[t] for t in range(4))
+        return out, gx, gy
     vals = tex_flat[idx4]  # [4, ..., C]
     out = jnp.sum(w4[..., None] * vals, axis=0)
     gx = jnp.sum(wx4[..., None] * vals, axis=0)
@@ -321,6 +351,26 @@ def _sample4_bwd(res, g):
 
 
 _sample4.defvjp(_sample4_fwd, _sample4_bwd)
+
+
+@jax.custom_vjp
+def _sample4_quad(tex_flat, kx, ky, vert, idx4, sep_i, sep_m):
+    """_sample4 with the quad-texture forward gather (see _sample4_impl
+    quad=True); backward (tap accumulation + direction grads) is shared."""
+    out, _gx, _gy = _sample4_impl(
+        tex_flat, kx, ky, vert, idx4, sep_i, sep_m, quad=True
+    )
+    return out
+
+
+def _sample4_quad_fwd(tex_flat, kx, ky, vert, idx4, sep_i, sep_m):
+    out, gx, gy = _sample4_impl(
+        tex_flat, kx, ky, vert, idx4, sep_i, sep_m, quad=True
+    )
+    return out, (gx, gy, kx, ky, vert, idx4, sep_i, sep_m, tex_flat.shape[0])
+
+
+_sample4_quad.defvjp(_sample4_quad_fwd, _sample4_bwd)
 
 
 def _pad_faces(texture: jnp.ndarray) -> jnp.ndarray:
@@ -482,7 +532,7 @@ def sample_cubemap(
             tex_flat = padded.transpose(0, 2, 3, 1).reshape(
                 -1, padded.shape[1]
             )
-            out = _sample4(
+            out = _sample4_quad(
                 tex_flat, kx, ky, jnp.zeros(su.shape, jnp.float32), idx4,
                 sep_i, jax.lax.stop_gradient(sep_m),
             )

@@ -124,6 +124,31 @@ def rasterize(
         )
     n_shards = 1 if mesh is None else mesh.shape[mesh_axis]
     use_pallas = cfg.use_pallas()
+    if use_pallas and mesh is not None:
+        # fully-sharded tile-slab pipeline: binning/sort/pack AND the blend
+        # kernels run per-chip on 1/N of the instances (raster/sharded.py);
+        # the per-Gaussian gradient psum is the only collective
+        from tpu_splat.raster.sharded import rasterize_tiles_sharded
+
+        out, num_instances, max_area, tile_counts, pad_overflow = (
+            rasterize_tiles_sharded(
+                prep, opacity, refl, scope_mask, bg, H, W, cfg,
+                mesh=mesh, axis=mesh_axis,
+            )
+        )
+        return RasterOutput(
+            color=out.color,
+            others=out.others,
+            refl_map=out.refl_map,
+            radii=prep.radius,
+            gaussian_weights=out.gaussian_weights,
+            final_T=out.final_T,
+            n_contrib=out.n_contrib,
+            num_instances=num_instances,
+            max_area=max_area,
+            tile_counts=tile_counts,
+            pad_overflow=pad_overflow,
+        )
     binned = bin_gaussians(
         prep, H, W, cfg, pad_tiles_to=n_shards, aligned=use_pallas
     )

@@ -206,6 +206,11 @@ def bin_gaussians(
     pad_tiles_to: int = 1,
     aligned: bool = False,
 ) -> Binned:
+    """Invariant: valid rows must have tiles_touched > 0 (preprocess
+    guarantees it; slab-clipped callers must clear `valid` for zero-area
+    rows). The expansion decode indexes the per-rank table by EMITTING-run
+    index, which equals the depth rank only when zero-area rows sort past
+    the emitting prefix via the inf depth key."""
     tiles_y, tiles_x = tile_grid(height, width)
     if tiles_x > 1024 or tiles_y > 1024:
         # the packed rect encoding below uses 10-bit x/y fields; beyond 1024

@@ -70,12 +70,46 @@ def depth_to_normal(camera: Camera, depth: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros_like(points).at[1:-1, 1:-1].set(n)
 
 
-def get_refl_color(env, camera: Camera, normal_map: jnp.ndarray) -> jnp.ndarray:
+def get_refl_color(
+    env, camera: Camera, normal_map: jnp.ndarray, mesh=None,
+    mesh_axis: str = "tiles",
+) -> jnp.ndarray:
     """Reflect camera rays about the rendered world normal and sample the env
-    cubemap through a sigmoid (reference gaussian_renderer/__init__.py:26-35)."""
+    cubemap through a sigmoid (reference gaussian_renderer/__init__.py:26-35).
+
+    With a mesh: the per-pixel env pass (reflect + 4-tap cubemap sample,
+    incl. its backward tap accumulation) shards over pixel ROWS — the
+    texture is replicated (a few hundred KB) and the shard_map transpose
+    psums the per-chip texel-gradient partials, so the deferred-reflection
+    stage scales with the tile sweep instead of replicating per chip."""
     rays = camera_rays(camera)  # [H,W,3]
-    refl_dirs = reflect(rays, normal_map)
-    return jax.nn.sigmoid(sample_cubemap(env, refl_dirs))
+    if mesh is None:
+        refl_dirs = reflect(rays, normal_map)
+        return jax.nn.sigmoid(sample_cubemap(env, refl_dirs))
+
+    from jax.sharding import PartitionSpec as P
+
+    H = normal_map.shape[0]
+    n = mesh.shape[mesh_axis]
+    pad = (-H) % n
+    if pad:
+        zrow = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]
+        )
+        rays, normal_map = zrow(rays), zrow(normal_map)
+
+    def local(rays_s, nrm_s, env_r):
+        dirs = reflect(rays_s, nrm_s)
+        return jax.nn.sigmoid(sample_cubemap(env_r, dirs))
+
+    out = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(mesh_axis), P(mesh_axis), P()),
+        out_specs=P(mesh_axis),
+        check_vma=False,  # pallas out_shapes carry no vma annotation
+    )(rays, normal_map, env)
+    return out[:H] if pad else out
 
 
 def render_env_map(state: GaussianState, H: int = 512, W: int = 1024):
@@ -162,7 +196,9 @@ def render(
         render_img = out.color
         refl_color = jnp.zeros_like(out.color)
     else:
-        refl_color = get_refl_color(state.env, camera, normal_world)
+        refl_color = get_refl_color(
+            state.env, camera, normal_world, mesh=mesh, mesh_axis=mesh_axis
+        )
         final = (1.0 - refl_map) * out.color + refl_map * refl_color
         initial = jnp.asarray(initial_stage)
         render_img = jnp.where(initial, out.color, final)

@@ -27,7 +27,7 @@ from tpu_splat.model.optim import (
 )
 from tpu_splat.model.densify import DensifyStats, add_stats
 from tpu_splat.isp.ppisp import ISPConfig, ISPParams, init_isp, apply_isp, isp_regularization
-from tpu_splat.raster.config import RasterConfig
+from tpu_splat.raster.config import TILE, RasterConfig
 from tpu_splat.renderer.render import render
 from tpu_splat.train.losses import l1_loss, ssim
 
@@ -144,6 +144,16 @@ def make_train_step(
         )
         rgb = out.render
         gt = gt_image
+        if mesh is not None and camera.height % (TILE * mesh.shape[mesh_axis]) == 0:
+            # keep the image-space loss tail (L1 + SSIM convs + their VJPs)
+            # sharded over pixel rows instead of letting SPMD replicate it —
+            # the halo exchange for the 11x11 SSIM window is inserted by XLA
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            rows = NamedSharding(mesh, P(mesh_axis))
+            rgb = jax.lax.with_sharding_constraint(rgb, rows)
+            gt = jax.lax.with_sharding_constraint(gt, rows)
         if gt_alpha is not None:
             # composite both over bg with their alphas (train.py:154-159)
             gt = gt * gt_alpha + (1 - gt_alpha) * bg

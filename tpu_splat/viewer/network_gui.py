@@ -19,6 +19,9 @@ import traceback
 import numpy as np
 
 RENDER_MODES = [
+    # the reference's ten modes (utils/image_utils.py:51-77), served in the
+    # same spellings: Edge = surf_normal, Curvature = Sobel gradient of the
+    # rendered normal, Mask = env-scope mask
     "RGB",
     "Alpha",
     "Normal",
@@ -26,6 +29,9 @@ RENDER_MODES = [
     "Base Color",
     "Refl. Strength",
     "Refl. Color",
+    "Edge",
+    "Curvature",
+    "Mask",
     "RGB raw",
 ]
 
@@ -55,6 +61,17 @@ def render_net_image(out, mode: str) -> np.ndarray:
         return _turbo(np.asarray(out.refl_strength)[..., 0])
     if mode == "Refl. Color":
         return np.asarray(out.refl_color)
+    if mode == "Edge":
+        # reference 'edge' serves the depth-derived pseudo normal
+        # (image_utils.py:70-72)
+        return np.asarray(out.surf_normal) * 0.5 + 0.5
+    if mode == "Curvature":
+        from tpu_splat.eval.image_utils import gradient_map
+
+        nrm = np.asarray(out.normal) * 0.5 + 0.5
+        return _turbo(gradient_map(nrm)[..., 0])
+    if mode == "Mask":
+        return np.repeat(np.asarray(out.scope_mask), 3, axis=-1)
     return np.asarray(out.render)
 
 

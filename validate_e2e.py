@@ -256,6 +256,11 @@ def main():
     ap.add_argument("--task", choices=["recover", "scratch"], default="scratch")
     ap.add_argument("--out", default=os.environ.get("VALID_OUT", ""))
     ap.add_argument("--iterations", type=int, default=0, help="override")
+    ap.add_argument(
+        "--save_state", default="",
+        help="write the trained end state as PLY(+.map) — bench.py "
+        "--checkpoint consumes it for the trained-distribution benchmark",
+    )
     args = ap.parse_args()
 
     import tpu_splat
@@ -409,6 +414,12 @@ def main():
         f"overflow {log.overflowed} n_events {len(log.events)}",
         flush=True,
     )
+
+    if args.save_state:
+        from tpu_splat.model.io import save_ply
+
+        save_ply(ts.gaussians, args.save_state)
+        print(f"saved end state to {args.save_state}", flush=True)
 
     tr, te_list = evaluate(
         jax, jnp, render, cfg, bg, ts.gaussians, cams, gts, n_views, n_test
