@@ -81,8 +81,10 @@ def _bench_setup():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
+        from tpu_splat.raster.config import production_config
+
         H, W, n, capacity = 1088, 1920, 1_000_000, 1 << 20
-        cfg = RasterConfig(
+        cfg = production_config(
             max_tiles_per_gaussian=32, max_instances=3_981_312,  # = bench.py
             tile_depth=2048, chunk=32, backend="pallas",
         )
@@ -376,6 +378,34 @@ def section_regroup():
 
     jax.jit(regroup_bf16)(d_out, emit)
     timed(regroup_bf16, (d_out, emit), name="bwd sort-regroup + segsum (bf16)")
+
+    from tpu_splat.kernels.tile_blend import _REGROUP_PERM, _regroup_unpack
+
+    def regroup_packed(d_out, emit):
+        # production path since r4: packed words ride the sort AND the
+        # segment-sum kernel (expanded chunk-by-chunk in VMEM)
+        geo = [
+            _pack_pair_bf16(d_out[:, 2 * k], d_out[:, 2 * k + 1])
+            for k in range(6)
+        ]
+        con = [
+            jax.lax.bitcast_convert_type(
+                _pack_pair_bf16(d_out[:, 12 + k], d_out[:, 16 + k]), jnp.int32
+            )
+            for k in range(4)
+        ]
+        srt = jax.lax.sort(
+            (emit,) + tuple(geo) + tuple(con), num_keys=1, is_stable=False
+        )
+        rows_T = jnp.stack(srt[1:11], axis=0)
+        d_sum = segment_sum_ranges(
+            rows_T, starts, ends, unpack=_regroup_unpack, f_out=19
+        )
+        return jnp.stack([d_sum[i] for i in _REGROUP_PERM], axis=0).T[rank_of]
+
+    jax.jit(regroup_packed)(d_out, emit)
+    timed(regroup_packed, (d_out, emit),
+          name="bwd sort-regroup + segsum (packed kernel)")
 
 
 def section_env():

@@ -161,8 +161,9 @@ def segment_sum_rows(
     return out[:P_, :F]
 
 
-def _segsum_kernel(starts_ref, ends_ref, rows_ref, out_ref, accum, slab, sem):
-    F = slab.shape[1]
+def _segsum_kernel(starts_ref, ends_ref, rows_ref, out_ref, accum, slab, sem,
+                   unpack=None):
+    F = accum.shape[0]
     starts = starts_ref[0, :].reshape(1, RB)
     ends = ends_ref[0, :].reshape(1, RB)
     lo = starts_ref[0, 0]
@@ -198,9 +199,15 @@ def _segsum_kernel(starts_ref, ends_ref, rows_ref, out_ref, accum, slab, sem):
         base = (c0 + i) * CI
         g = base + jax.lax.broadcasted_iota(jnp.int32, (CI, 1), 0)
         onehot = ((g >= starts) & (g < ends)).astype(jnp.float32)  # [CI, RB]
+        chunk = slab[i % NSLOT]
+        if unpack is not None:
+            # packed input: halve the HBM read by shipping bitcast-packed
+            # bf16-pair words and expanding to f32 rows in VMEM (pure i32
+            # bit ops — see tile_blend's regroup unpack)
+            chunk = unpack(chunk)
         # HIGHEST: default MXU precision is bf16 inputs — rounds grad rows
         accum[:] += jnp.dot(
-            slab[i % NSLOT],
+            chunk,
             onehot,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
@@ -216,20 +223,28 @@ def _segsum_kernel(starts_ref, ends_ref, rows_ref, out_ref, accum, slab, sem):
     out_ref[:] = accum[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "unpack", "f_out")
+)
 def segment_sum_ranges(
     rows_T: jnp.ndarray,  # [F, N] feature-major rows (N multiple of CI)
     starts: jnp.ndarray,  # [P] ascending segment starts
     ends: jnp.ndarray,  # [P] segment ends (ends[r] <= starts[r+1])
     interpret: bool | None = None,
+    unpack=None,  # static: [F_in, CI] chunk -> [f_out, CI] f32 (in VMEM)
+    f_out: int | None = None,
 ) -> jnp.ndarray:
-    """-> [F, P] per-segment sums. Requires ascending, non-overlapping
-    [start, end) runs (the natural shape of sorted-group reductions)."""
+    """-> [F(_out), P] per-segment sums. Requires ascending, non-overlapping
+    [start, end) runs (the natural shape of sorted-group reductions).
+    With `unpack`, rows_T carries packed words (e.g. bitcast bf16 pairs)
+    expanded chunk-by-chunk in VMEM — the HBM read halves."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     F, N = rows_T.shape
     P_ = starts.shape[0]
+    Fo = F if unpack is None else f_out
     f_pad = (-F) % 8
+    fo_pad = (-Fo) % 8
     n_pad = (-N) % CI
     p_pad = (-P_) % RB
     if f_pad:
@@ -244,24 +259,49 @@ def segment_sum_ranges(
         starts = jnp.concatenate([starts, jnp.full(p_pad, N + n_pad, jnp.int32)])
         ends = jnp.concatenate([ends, jnp.full(p_pad, N + n_pad, jnp.int32)])
     Fp = F + f_pad
+    Fop = Fo + fo_pad
     Pp = P_ + p_pad
     clamp = lambda a: jnp.clip(a, 0, N + n_pad).astype(jnp.int32)
+    ker = _segsum_kernel
+    if unpack is not None:
+        pad_rows = fo_pad
+
+        def ker(s_ref, e_ref, r_ref, o_ref, accum, slab, sem,
+                _u=unpack, _pr=pad_rows):
+            def up(chunk):
+                rows = _u(chunk)
+                if _pr:
+                    rows = jnp.concatenate(
+                        [rows, jnp.zeros((_pr, rows.shape[1]), rows.dtype)]
+                    )
+                return rows
+
+            return _segsum_kernel(
+                s_ref, e_ref, r_ref, o_ref, accum, slab, sem, unpack=up
+            )
 
     out = pl.pallas_call(
-        _segsum_kernel,
+        ker,
         grid=(Pp // RB,),
         in_specs=[
             pl.BlockSpec((1, RB), lambda i: (0, i)),
             pl.BlockSpec((1, RB), lambda i: (0, i)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((Fp, RB), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((Fp, Pp), jnp.float32),
+        out_specs=pl.BlockSpec((Fop, RB), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((Fop, Pp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((Fp, RB), jnp.float32),
-            pltpu.VMEM((NSLOT, Fp, CI), jnp.float32),
+            pltpu.VMEM((Fop, RB), jnp.float32),
+            pltpu.VMEM(
+                (NSLOT, Fp, CI),
+                rows_T.dtype if unpack is not None else jnp.float32,
+            ),
             pltpu.SemaphoreType.DMA((NSLOT,)),
         ],
         interpret=interpret,
-    )(clamp(starts)[None], clamp(ends)[None], rows_T.astype(jnp.float32))
-    return out[:F, :P_]
+    )(
+        clamp(starts)[None],
+        clamp(ends)[None],
+        rows_T if unpack is not None else rows_T.astype(jnp.float32),
+    )
+    return out[:Fo, :P_]

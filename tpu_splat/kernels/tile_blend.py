@@ -699,6 +699,25 @@ def _pack_g16(g24):
     )
 
 
+def _regroup_unpack(chunk):
+    """[10, CI] i32 packed regroup chunk -> [19, CI] f32 grad rows (VMEM,
+    pure i32 bit ops, concat-only layout). Output row order (callers
+    un-permute with _REGROUP_PERM): [6 geo hi | 6 geo lo | 4 content hi |
+    3 content lo]. _pack_pair_bf16 and the backward kernel's content pair
+    words share the (hi16 | lo16) bit layout, so one _unpack2_bits covers
+    both."""
+    w = jax.lax.bitcast_convert_type(chunk[0:10], jnp.float32)
+    hi, lo = _unpack2_bits(w)  # [10, CI] each
+    return jnp.concatenate([hi[0:6], lo[0:6], hi[6:10], lo[6:9]], axis=0)
+
+
+# inverse row order: natural grad column k lives at _REGROUP_PERM[k] of the
+# kernel's concat layout (geo interleave hi/lo, then content hi block + lo)
+_REGROUP_PERM = tuple(
+    [v for k in range(6) for v in (k, 6 + k)] + list(range(12, 19))
+)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_expand_rows(bf16_pack: bool, packed_feats: bool = False):
     @jax.custom_vjp
@@ -733,7 +752,9 @@ def _make_expand_rows(bf16_pack: bool, packed_feats: bool = False):
             # d_out is [N, 16]: cols 0..11 f32 geometry grads, cols 12..15
             # bf16 content-grad pairs straight from the backward kernel.
             # Geometry pairs compress for the sort exactly like bf16_pack;
-            # content pairs ride AS-IS (already one word per pair).
+            # content pairs ride AS-IS (already one word per pair). The
+            # packed words go STRAIGHT into the segment-sum kernel, which
+            # expands them chunk-by-chunk in VMEM (halves its HBM read).
             geo = [
                 _pack_pair_bf16(d_out[:, 2 * k], d_out[:, 2 * k + 1])
                 for k in range(6)
@@ -743,6 +764,12 @@ def _make_expand_rows(bf16_pack: bool, packed_feats: bool = False):
                 (group_key,) + tuple(geo) + tuple(con),
                 num_keys=1, is_stable=False,
             )
+            # NOTE: shipping the packed words straight into the segment-sum
+            # kernel (segment_sum_ranges unpack=_regroup_unpack) halves its
+            # HBM read but measured SLOWER on v5e (71 vs 65 ms whole
+            # regroup at bench scale — the per-chunk VMEM unpack sits on
+            # the DMA-latency-bound critical path), so the expansion stays
+            # outside where XLA fuses it into the sort output.
             rows = []
             for c in srt[1:7]:
                 hi, lo = _unpack_pair_bf16(c)

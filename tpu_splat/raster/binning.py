@@ -479,13 +479,15 @@ def bin_gaussians(
     # — the aligned path below does its own payload sort, so this stays 1
     # column) + few-query binary search
     sorted_tile_only = jax.lax.sort(inst_tile, is_stable=False)
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_tile_only, tile_ids, side="left").astype(
-        jnp.int32
-    )
-    ends = jnp.searchsorted(sorted_tile_only, tile_ids, side="right").astype(
-        jnp.int32
-    )
+    # ONE searchsorted over n_tiles+1 integer boundaries: side-left of t+1
+    # IS side-right of t for integer keys, so starts and ends share a call
+    se = jnp.searchsorted(
+        sorted_tile_only,
+        jnp.arange(n_tiles + 1, dtype=jnp.int32),
+        side="left",
+    ).astype(jnp.int32)
+    starts = se[:n_tiles]
+    ends = se[1:]
     counts = ends - starts
 
     if n_tiles_padded != n_tiles:

@@ -375,6 +375,66 @@ def blend(
     )
 
 
+def assemble_image(out_px, tiles_y, tiles_x, height, width, bg,
+                   train_shape: bool):
+    """[T, 16, 256] kernel output -> (color, others[8], refl, final_T,
+    n_contrib) image-space maps via ONE tile->image permute.
+
+    train_shape: the kernel statically skipped the distortion/median/M1/M2
+    channels (they hold zeros/garbage and the training loss never reads
+    them), so only the 10 live channels ride the permute and its backward
+    cotangent (-37% of the 133 MB shuffle at 1080p); MED/DIST/NCON image
+    outputs are served as zeros."""
+    from tpu_splat.kernels import tile_blend as tb
+
+    if train_shape:
+        keep = jnp.concatenate(
+            [
+                out_px[:, tb.O_COL : tb.O_DIST],  # color 3, T, depth, refl
+                out_px[:, tb.O_NRM : tb.O_NRM + 3],
+                out_px[:, tb.O_SCOPE : tb.O_SCOPE + 1],
+            ],
+            axis=1,
+        )  # [T, 10, L]
+        img = _tiles_to_image(
+            jnp.moveaxis(keep, 1, 2), tiles_y, tiles_x, height, width
+        )  # [H, W, 10]
+        Tf = img[..., 3:4]
+        zero1 = jnp.zeros_like(Tf)
+        color = img[..., 0:3] + Tf * bg[None, None, :]
+        others = jnp.concatenate(
+            [img[..., 4:5], 1.0 - Tf, img[..., 6:9], zero1, zero1,
+             img[..., 9:10]],
+            axis=-1,
+        )
+        return (
+            color, others, img[..., 5], img[..., 3],
+            jnp.zeros(img.shape[:2], jnp.int32),
+        )
+    imgall = _tiles_to_image(
+        jnp.moveaxis(out_px, 1, 2), tiles_y, tiles_x, height, width
+    )  # [H, W, 16]
+    Tf_img = imgall[..., tb.O_T : tb.O_T + 1]
+    color_img = (
+        imgall[..., tb.O_COL : tb.O_COL + 3] + Tf_img * bg[None, None, :]
+    )
+    others = jnp.concatenate(
+        [
+            imgall[..., tb.O_DEPTH : tb.O_DEPTH + 1],
+            1.0 - Tf_img,
+            imgall[..., tb.O_NRM : tb.O_NRM + 3],
+            imgall[..., tb.O_MED : tb.O_MED + 1],
+            imgall[..., tb.O_DIST : tb.O_DIST + 1],
+            imgall[..., tb.O_SCOPE : tb.O_SCOPE + 1],
+        ],
+        axis=-1,
+    )
+    return (
+        color_img, others, imgall[..., tb.O_REFL], imgall[..., tb.O_T],
+        imgall[..., tb.O_NCON].astype(jnp.int32),
+    )
+
+
 def blend_pallas(
     binned,
     hom: jnp.ndarray,
@@ -449,27 +509,13 @@ def blend_pallas(
         )(feats, binned.aligned_starts, counts_full, org[:, 0], org[:, 1])
         wmax = jnp.max(wmax_parts, axis=0)
 
-    # ONE tile->image shuffle for all 16 packed channels (the per-channel
+    # ONE tile->image shuffle for the packed channels (the per-channel
     # slicing used to launch ~10 separate 8.5 MB transposes fwd + the same
     # again for their cotangents; this is one 133 MB permute, slices after
     # it are last-axis views)
-    imgall = _tiles_to_image(
-        jnp.moveaxis(out_px, 1, 2), tiles_y, tiles_x, height, width
-    )  # [H, W, 16]
-    Tf_img = imgall[..., tb.O_T : tb.O_T + 1]
-    color_img = (
-        imgall[..., tb.O_COL : tb.O_COL + 3] + Tf_img * bg[None, None, :]
-    )
-    others = jnp.concatenate(
-        [
-            imgall[..., tb.O_DEPTH : tb.O_DEPTH + 1],
-            1.0 - Tf_img,
-            imgall[..., tb.O_NRM : tb.O_NRM + 3],
-            imgall[..., tb.O_MED : tb.O_MED + 1],
-            imgall[..., tb.O_DIST : tb.O_DIST + 1],
-            imgall[..., tb.O_SCOPE : tb.O_SCOPE + 1],
-        ],
-        axis=-1,
+    color_img, others, refl_img, T_img, ncon_img = assemble_image(
+        out_px, tiles_y, tiles_x, height, width, bg,
+        train_shape=not full_grads,
     )
     # per-Gaussian max blend weight: one two-key sort by (rank, wmax) puts
     # each rank run's max at its analytic end; un-rank with a row gather
@@ -481,8 +527,8 @@ def blend_pallas(
     return BlendOutput(
         color=color_img,
         others=others,
-        refl_map=imgall[..., tb.O_REFL],
-        final_T=imgall[..., tb.O_T],
-        n_contrib=imgall[..., tb.O_NCON].astype(jnp.int32),
+        refl_map=refl_img,
+        final_T=T_img,
+        n_contrib=ncon_img,
         gaussian_weights=gw,
     )

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from tpu_splat.raster.binning import bin_gaussians
-from tpu_splat.raster.blend import BlendOutput, _tiles_to_image
+from tpu_splat.raster.blend import BlendOutput, assemble_image
 from tpu_splat.raster.config import TILE, RasterConfig, tile_grid
 from tpu_splat.raster.preprocess import Preprocessed
 
@@ -147,28 +147,16 @@ def rasterize_tiles_sharded(
     max_area = jnp.max(diags[:, 1])
     pad_overflow = jnp.max(diags[:, 2])
 
-    imgall = _tiles_to_image(
-        jnp.moveaxis(out_px, 1, 2), Rh * n, tiles_x, height, width
-    )
-    Tf_img = imgall[..., tb.O_T : tb.O_T + 1]
-    color_img = imgall[..., tb.O_COL : tb.O_COL + 3] + Tf_img * bg[None, None, :]
-    others = jnp.concatenate(
-        [
-            imgall[..., tb.O_DEPTH : tb.O_DEPTH + 1],
-            1.0 - Tf_img,
-            imgall[..., tb.O_NRM : tb.O_NRM + 3],
-            imgall[..., tb.O_MED : tb.O_MED + 1],
-            imgall[..., tb.O_DIST : tb.O_DIST + 1],
-            imgall[..., tb.O_SCOPE : tb.O_SCOPE + 1],
-        ],
-        axis=-1,
+    color_img, others, refl_img, T_img, ncon_img = assemble_image(
+        out_px, Rh * n, tiles_x, height, width, bg,
+        train_shape=not full_grads,
     )
     out = BlendOutput(
         color=color_img,
         others=others,
-        refl_map=imgall[..., tb.O_REFL],
-        final_T=imgall[..., tb.O_T],
-        n_contrib=imgall[..., tb.O_NCON].astype(jnp.int32),
+        refl_map=refl_img,
+        final_T=T_img,
+        n_contrib=ncon_img,
         gaussian_weights=gw,
     )
     n_tiles = tiles_y * tiles_x
