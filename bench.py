@@ -183,6 +183,39 @@ def main():
     else:
         state = build_state(n, capacity)
     cam = orbit_camera(H, W, radius=6.0, azimuth=0.4, elevation=0.3)
+    if cli.checkpoint and on_tpu:
+        # the trained distribution's instance count differs from the
+        # synthetic cloud's — probe it and size the capacity to cover it
+        # (an undersized cap would silently truncate instances and inflate
+        # the number)
+        import dataclasses
+
+        from tpu_splat.raster.binning import bin_gaussians
+        from tpu_splat.raster.preprocess import preprocess
+
+        probe_cfg = dataclasses.replace(cfg, max_instances=8_368_128)
+
+        @jax.jit
+        def probe(xyz, scales, rot):
+            p = preprocess(
+                xyz, scales, rot, cam.world_view, cam.full_proj,
+                cam.camera_center, H, W,
+                colors=jnp.zeros((xyz.shape[0], 3)),
+            )
+            p = p._replace(
+                valid=p.valid & state.alive,
+                tiles_touched=jnp.where(
+                    p.valid & state.alive, p.tiles_touched, 0
+                ),
+            )
+            return bin_gaussians(p, H, W, probe_cfg, aligned=True).num_instances
+
+        n_inst = int(probe(state.xyz, state.get_scaling(), state.rotation))
+        cap_i = min(((int(n_inst * 1.03) + 4095) // 4096) * 4096, 8_368_128)
+        assert n_inst <= cap_i, (n_inst, cap_i)
+        cfg = dataclasses.replace(cfg, max_instances=cap_i)
+        print(f"# trained load: {n_inst} instances, cap {cap_i}",
+              flush=True)
     bg = jnp.zeros(3)
     rng = np.random.default_rng(1)
     gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
