@@ -250,14 +250,15 @@ def bin_gaussians(
         (area_o > 0) & (offsets < cap), offsets, cap + rank_ids
     )
     i = jnp.arange(cap, dtype=jnp.int32)
-    rw_col = jnp.maximum(
-        prep.rect_max[gorder][:, 0] - prep.rect_min[gorder][:, 0], 1
+    # pack the rect BEFORE permuting so ONE single-column [P] gather
+    # replaces the rect_min/rect_max multi-column gathers (P-gathers are
+    # per-row-latency bound like everything else on TPU)
+    rw_all = jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1)
+    packed_all = (
+        prep.rect_min[:, 0] | (prep.rect_min[:, 1] << 10) | (rw_all << 20)
     )
-    packed = (
-        prep.rect_min[gorder][:, 0]
-        | (prep.rect_min[gorder][:, 1] << 10)
-        | (rw_col << 20)
-    )
+    packed = packed_all[gorder]
+    rw_col = packed >> 20
     mode = cfg.expand_mode
     cap_cols = cfg.max_columns or cap
     tight = bool(cfg.tight_culling) and aligned
@@ -312,7 +313,7 @@ def bin_gaussians(
         r0_sub1 = jnp.maximum(jnp.cumsum(mark1[:cap_cols])[::128] - 1, 0)
         tab1 = jnp.stack(
             [
-                prep.rect_min[gorder][:, 0].astype(jnp.float32),
+                (packed & 0x3FF).astype(jnp.float32),
                 gorder.astype(jnp.float32),
                 rank_ids.astype(jnp.float32),
                 xc_c[gorder],
@@ -406,8 +407,8 @@ def bin_gaussians(
         r0_sub = jnp.maximum(gsel_full[::128], 0)
         tab = jnp.stack(
             [
-                prep.rect_min[gorder][:, 0].astype(jnp.float32),
-                prep.rect_min[gorder][:, 1].astype(jnp.float32),
+                (packed & 0x3FF).astype(jnp.float32),
+                ((packed >> 10) & 0x3FF).astype(jnp.float32),
                 rw_col.astype(jnp.float32),
                 gorder.astype(jnp.float32),
                 rank_ids.astype(jnp.float32),
