@@ -229,7 +229,17 @@ def bin_gaussians(
     # 1. depth-argsort the P Gaussians once (P << instances)
     gkey = jnp.where(prep.valid, prep.depth, jnp.inf)
     gorder = jnp.argsort(gkey, stable=True).astype(jnp.int32)  # [P]
-    area_o = area[gorder]
+    # ONE [P,2] row gather for everything rank-ordered (P-gathers are
+    # per-row-latency bound: fused beats separate): area + the pre-packed
+    # rect word (rect.x | rect.y << 10 | rect_width << 20)
+    rw_all = jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1)
+    packed_all = (
+        prep.rect_min[:, 0] | (prep.rect_min[:, 1] << 10) | (rw_all << 20)
+    )
+    ap_o = jnp.stack([area, packed_all], axis=1)[gorder]  # [P, 2]
+    area_o = ap_o[:, 0]
+    packed = ap_o[:, 1]
+    rw_col = packed >> 20
     offsets = jnp.cumsum(area_o) - area_o  # exclusive prefix
     total = jnp.sum(area)
 
@@ -250,15 +260,6 @@ def bin_gaussians(
         (area_o > 0) & (offsets < cap), offsets, cap + rank_ids
     )
     i = jnp.arange(cap, dtype=jnp.int32)
-    # pack the rect BEFORE permuting so ONE single-column [P] gather
-    # replaces the rect_min/rect_max multi-column gathers (P-gathers are
-    # per-row-latency bound like everything else on TPU)
-    rw_all = jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1)
-    packed_all = (
-        prep.rect_min[:, 0] | (prep.rect_min[:, 1] << 10) | (rw_all << 20)
-    )
-    packed = packed_all[gorder]
-    rw_col = packed >> 20
     mode = cfg.expand_mode
     cap_cols = cfg.max_columns or cap
     tight = bool(cfg.tight_culling) and aligned
@@ -465,6 +466,10 @@ def bin_gaussians(
         gsel = jnp.cumsum(mark[:cap]) - 1  # [cap] depth rank per slot
         start_pos = jax.lax.cummax(jnp.where(mark[:cap] > 0, i, 0))
         j = i - start_pos  # linear index within the Gaussian's tile rect
+        # (A quad-row window gather — [cap/4, 8] rows of 4 consecutive
+        # ranks + 4-way selects, exploiting gsel's +<=1 step — measured
+        # SLOWER than this plain gather on v5e: 6.24M vs 6.35M px/s whole
+        # bench; the selects outweigh the row-latency saving.)
         rows = jnp.stack([packed, gorder], axis=1)[gsel]  # [cap, 2] gather
         rows0 = rows[:, 0]
         rows1 = rows[:, 1]
@@ -545,15 +550,20 @@ def bin_gaussians(
         # capacity-overflow slots, keyed to n_tiles+) carry P — ONE payload
         # provides validity, the backward's regroup key (rank-sorted
         # positions land exactly on the analytic [seg_start, seg_end) runs,
-        # same as emission order), and the gw tie-sort key
+        # same as emission order), and the gw tie-sort key.
+        # UNSTABLE 2-key sort: (tile, rank) is UNIQUE for real instances
+        # (a Gaussian appears once per tile) and rank==P keys pads after
+        # every real instance with identical payloads, so the order equals
+        # the former stable single-key sort at roughly half the exchange
+        # cost (stability ~doubles lax.sort on TPU).
         rank_cat = jnp.concatenate(
             [
                 jnp.where(slot_valid, gsel, P_),
                 jnp.full(pad_cap, P_, jnp.int32),
             ]
         )
-        _, aligned_gid, aligned_rank = jax.lax.sort(
-            (key, gid_cat, rank_cat), num_keys=1, is_stable=True
+        _, aligned_rank, aligned_gid = jax.lax.sort(
+            (key, rank_cat, gid_cat), num_keys=2, is_stable=False
         )
         aligned_valid = aligned_rank < P_
 
