@@ -406,3 +406,127 @@ def test_tight_culling_parity_bound():
     keep = [0, 1, 2, 3, 4, 7]  # depth/alpha/normal/mask; 5=median 6=dist
     d = jnp.abs(a.others[..., keep] - b.others[..., keep])
     assert float(d.max()) <= 0.03, float(d.max())
+
+
+def test_opacity_rect_footprint_superset():
+    """opacity_rect (preprocess.py, RasterConfig.opacity_rect): the shrunk
+    rect must still contain EVERY tile where the blend accept mask
+    (alpha = min(0.99, o*exp(-rho/2)) >= 1/255, kernels/tile_blend.py:477)
+    can fire inside the reference 3-sigma rect — dense per-pixel alpha
+    evaluation is the ground truth. Also: o < 1/255 rows are culled, the
+    rect never grows, and reported radii keep the full 3-sigma value."""
+    from tpu_splat.raster.config import FILTER_INV_SQUARE, TILE
+
+    rng = np.random.default_rng(3)
+    n = 300
+    xyz = jnp.asarray(rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32))
+    scales = jnp.exp(jnp.asarray(rng.normal(-2.6, 0.7, (n, 2)).astype(np.float32)))
+    rot = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    # full opacity range incl. sub-1/255 and the rho_cut > 9 clip regime
+    op_np = np.concatenate(
+        [rng.uniform(0, 1, n - 60), rng.uniform(0, 1 / 255, 60)]
+    ).astype(np.float32)
+    op = jnp.asarray(op_np)
+    cam = orbit_camera(H, W, radius=4.0, azimuth=0.7, elevation=0.25)
+    colors = jnp.zeros((n, 3))
+
+    p0 = preprocess(
+        xyz, scales, rot, cam.world_view, cam.full_proj, cam.camera_center,
+        H, W, colors=colors,
+    )
+    p1 = preprocess(
+        xyz, scales, rot, cam.world_view, cam.full_proj, cam.camera_center,
+        H, W, colors=colors, opacity=op,
+    )
+    rad0, rad1 = np.asarray(p0.radius), np.asarray(p1.radius)
+    keep = np.asarray(p1.valid)
+    assert np.array_equal(rad0[keep], rad1[keep])  # full 3-sigma radii kept
+    assert (rad1[~keep] == 0).all()
+    r0m, r0M = np.asarray(p0.rect_min), np.asarray(p0.rect_max)
+    r1m, r1M = np.asarray(p1.rect_min), np.asarray(p1.rect_max)
+    v0, v1 = np.asarray(p0.valid), np.asarray(p1.valid)
+    # never grows
+    assert (r1m[v1] >= r0m[v1]).all() and (r1M[v1] <= r0M[v1]).all()
+    # sub-1/255 opacity culled outright
+    assert not v1[op_np < 1.0 / 255.0].any()
+
+    # dense alpha field per gaussian (the exact blend formula)
+    hom = np.asarray(p0.hom, np.float64)
+    xy = np.asarray(p0.xy, np.float64)
+    yy, xx = np.meshgrid(np.arange(H, dtype=np.float64),
+                         np.arange(W, dtype=np.float64), indexing="ij")
+    missed = 0
+    for i in range(n):
+        if not v0[i] or op_np[i] < 2.0 / 255.0:  # skip knife-edge o ~ 1/255
+            continue
+        Tu, Tv, Tw = hom[i, 0], hom[i, 1], hom[i, 2]
+        k = xx[..., None] * Tw - Tu
+        l = yy[..., None] * Tw - Tv
+        p = np.cross(k, l)
+        unst = np.abs(p[..., 2]) < 1e-4
+        s = p[..., :2] / np.where(unst, 1.0, p[..., 2])[..., None]
+        rho3d = np.where(unst, 1e8, (s * s).sum(-1))
+        rho2d = FILTER_INV_SQUARE * ((xx - xy[i, 0]) ** 2 + (yy - xy[i, 1]) ** 2)
+        alpha = op_np[i] * np.exp(-0.5 * np.minimum(rho3d, rho2d))
+        # tiles (within the reference rect) where alpha can clear the accept
+        # threshold, with margin against f32-vs-f64 boundary noise
+        ys, xs = np.nonzero(alpha >= 1.05 / 255.0)
+        for y, x in zip(ys, xs):
+            tx, ty = x // TILE, y // TILE
+            if not (r0m[i, 0] <= tx < r0M[i, 0] and r0m[i, 1] <= ty < r0M[i, 1]):
+                continue  # outside the reference rect: clipped either way
+            if not (
+                v1[i]
+                and r1m[i, 0] <= tx < r1M[i, 0]
+                and r1m[i, 1] <= ty < r1M[i, 1]
+            ):
+                missed += 1
+    assert missed == 0, f"{missed} accept-capable (gaussian, tile) pairs dropped"
+
+
+def test_opacity_rect_render_parity():
+    """Away from the T<1e-4 termination knife edge (low opacities, sparse
+    cloud) the opacity_rect render matches the reference rect bit-for-bit up
+    to reduction-order noise: the accepted contribution set is IDENTICAL
+    (only sub-1/255 instances are dropped), so images agree to ~1e-5."""
+    import dataclasses
+
+    rng = np.random.default_rng(5)
+    # shallow cloud: with alpha <= 0.1 and 60 splats, T >= 0.9^60 ~ 1.8e-3
+    # > T_EPS, so the termination knife edge cannot fire anywhere
+    n = 60
+    xyz = jnp.asarray(rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32))
+    scales = jnp.exp(jnp.asarray(rng.normal(-2.8, 0.6, (n, 2)).astype(np.float32)))
+    rot = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    op = jnp.asarray(rng.uniform(0.01, 0.1, n).astype(np.float32))
+    refl = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    cam = orbit_camera(H, W, radius=4.0, azimuth=0.7, elevation=0.25)
+    bg = jnp.asarray([0.2, 0.3, 0.4], jnp.float32)
+
+    cfg1 = dataclasses.replace(CFG, opacity_rect=True)
+    o0 = rasterize(xyz, scales, rot, op, refl, cam, bg, CFG, colors=colors)
+    o1 = rasterize(xyz, scales, rot, op, refl, cam, bg, cfg1, colors=colors)
+    assert int(o1.num_instances) <= int(o0.num_instances)
+    np.testing.assert_allclose(
+        np.asarray(o0.color), np.asarray(o1.color), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(o0.refl_map), np.asarray(o1.refl_map), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(o0.others[..., 2:5]), np.asarray(o1.others[..., 2:5]),
+        atol=1e-5,
+    )
+    # gradients through the identical accepted set agree too
+    def loss(cfg):
+        def f(xyz_, op_):
+            o = rasterize(xyz_, scales, rot, op_, refl, cam, bg, cfg,
+                          colors=colors)
+            return jnp.sum(o.color) + jnp.sum(o.refl_map)
+        return f
+
+    g0 = jax.grad(loss(CFG), argnums=(0, 1))(xyz, op)
+    g1 = jax.grad(loss(cfg1), argnums=(0, 1))(xyz, op)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

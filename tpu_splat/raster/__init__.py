@@ -114,6 +114,7 @@ def rasterize(
             scale_modifier=scale_modifier,
             screen_offset=screen_offset,
             hom_precomp=hom_precomp,
+            opacity=opacity if cfg.opacity_rect else None,
         )
     if alive is not None:
         valid = prep.valid & alive

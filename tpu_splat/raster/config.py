@@ -83,6 +83,15 @@ class RasterConfig:
     # sort) by ~12%. Overflow (astronomically unlikely below 128) is
     # reported via Binned.pad_overflow; check_growth escalates to 128.
     pad_per_tile: int = 128
+    # opacity-aware tile rect: scale each Gaussian's emission rect by
+    # sqrt(min(CUTOFF^2, 2*ln(255*opacity)))/CUTOFF and cull opacity < 1/255
+    # outright. OUTPUT-EXACT: every dropped (gaussian, tile) overlap could
+    # only contribute alpha < 1/255, which the blend kernels' accept mask
+    # already skips (kernels/tile_blend.py:477, reference forward.cu:408) —
+    # this just stops emitting instances for them. Strictly fewer instances
+    # than the reference's opacity-independent 3-sigma rect (forward.cu:222);
+    # reported radii stay full 3-sigma for densify-stat parity.
+    opacity_rect: bool = False
     # flat-expansion formulation (bin_gaussians): "gather" =
     # mark+cumsum+cummax+[cap,2] row gather; "scan" = hold-last associative
     # scans (gather-free); "kernel" = the Pallas run-decode
@@ -147,6 +156,13 @@ def production_config(**overrides) -> RasterConfig:
         bf16_grads=True,
         bf16_feats=True,
         tight_culling=False,
+        # opacity_rect is accept-mask-exact and cuts 6.1% of the trained-
+        # load instance stream (0.2% synthetic), but instance-slot shifts
+        # change FP reduction trees at the T<1e-4 termination knife edge
+        # (same deviation class as PARITY.md D1/D2), so flipping it on in
+        # production waits for a fresh VALID certification — opt-in via
+        # --opacity_rect until then.
+        opacity_rect=False,
         expand_mode="gather",
         pad_per_tile=96,
     )
@@ -164,6 +180,7 @@ def production_switches(cfg: RasterConfig) -> dict:
         "bf16_grads": cfg.bf16_grads,
         "bf16_feats": cfg.bf16_feats,
         "tight_culling": cfg.tight_culling,
+        "opacity_rect": cfg.opacity_rect,
         "expand_mode": cfg.expand_mode,
         "pad_per_tile": cfg.pad_per_tile,
     }

@@ -96,12 +96,21 @@ def compute_homography(
     return hom, normal_world
 
 
-def compute_aabb(hom: jnp.ndarray, cutoff: float = CUTOFF):
-    """Screen AABB center + extent of the cutoff-sigma ellipse from the
+def compute_aabb(hom: jnp.ndarray, cutoff: float = CUTOFF, cutoff_sq=None):
+    """Screen AABB center + extent of the cutoff-sigma conic from the
     homography (forward.cu:119-145). Returns (center [P,2], extent [P,2],
-    ok [P])."""
+    ok [P], h0 [P,2]); `cutoff_sq` [P] overrides the scalar cutoff with a
+    per-Gaussian rho level. h0 <= 0 marks a degenerate/unbounded conic
+    AABB (the sqrt is clamped; callers needing exactness must treat those
+    rows as invalid)."""
     Tu, Tv, Tw = hom[..., 0, :], hom[..., 1, :], hom[..., 2, :]
-    t = jnp.array([cutoff * cutoff, cutoff * cutoff, -1.0], dtype=hom.dtype)
+    if cutoff_sq is None:
+        t = jnp.array([cutoff * cutoff, cutoff * cutoff, -1.0], dtype=hom.dtype)
+        t = jnp.broadcast_to(t, hom.shape[:-2] + (3,))
+    else:
+        t = jnp.stack(
+            [cutoff_sq, cutoff_sq, -jnp.ones_like(cutoff_sq)], axis=-1
+        )
     d = jnp.sum(t * Tw * Tw, axis=-1)
     ok = d != 0.0
     f = t / jnp.where(ok, d, 1.0)[..., None]
@@ -112,7 +121,7 @@ def compute_aabb(hom: jnp.ndarray, cutoff: float = CUTOFF):
         [jnp.sum(f * Tu * Tu, axis=-1), jnp.sum(f * Tv * Tv, axis=-1)], axis=-1
     )
     extent = jnp.sqrt(jnp.maximum(1e-4, h0))
-    return center, extent, ok
+    return center, extent, ok, h0
 
 
 def preprocess(
@@ -130,6 +139,7 @@ def preprocess(
     scale_modifier: float = 1.0,
     screen_offset: jnp.ndarray | None = None,
     hom_precomp: jnp.ndarray | None = None,
+    opacity: jnp.ndarray | None = None,
 ) -> Preprocessed:
     """Vectorized preprocess over all P Gaussians.
 
@@ -138,6 +148,18 @@ def preprocess(
     gradient reproduces the reference's densification signal
     (backward.cu:656-659 overwrites dL_dmean2D with exactly
     0.5*W*dL_dTu.z, 0.5*H*dL_dTv.z).
+
+    `opacity` [P] (post-activation), when given, enables the opacity-aware
+    tile rect: the blend kernels hard-skip contributions with
+    alpha = opacity*exp(-rho/2) < 1/255 (forward.cu:408-416 /
+    kernels/tile_blend.py accept mask), so tiles only reachable at
+    rho > rho_cut = 2*ln(255*opacity) can never contribute. Both the
+    3-sigma ellipse extent and the low-pass floor scale by
+    sqrt(min(CUTOFF^2, rho_cut))/CUTOFF, and Gaussians with
+    opacity < 1/255 are culled outright — OUTPUT-EXACT vs the reference's
+    opacity-independent 3-sigma rect (forward.cu:222), strictly fewer
+    instances. The reported `radius` stays at the full 3-sigma value so
+    radii>0 visibility and max_radii2D densify stats keep reference parity.
     """
     P = means3d.shape[0]
     tiles_y, tiles_x = tile_grid(height, width)
@@ -166,7 +188,7 @@ def preprocess(
     normal_view = jnp.sign(cosv)[..., None] * normal_view
     front_ok = cosv != 0.0
 
-    center, extent, aabb_ok = compute_aabb(hom)
+    center, extent, aabb_ok, _ = compute_aabb(hom)
     radius_f = jnp.ceil(
         jnp.maximum(jnp.maximum(extent[..., 0], extent[..., 1]), CUTOFF * FILTER_SIZE)
     )
@@ -180,23 +202,68 @@ def preprocess(
     # sub-1/255-ish tail contributions beyond the 3-sigma box differ.
     rx = jnp.ceil(jnp.maximum(extent[..., 0], CUTOFF * FILTER_SIZE))
     ry = jnp.ceil(jnp.maximum(extent[..., 1], CUTOFF * FILTER_SIZE))
+    lo = center - jnp.stack([rx, ry], axis=-1)  # [P,2] pixel box
+    hi = center + jnp.stack([rx, ry], axis=-1)
+    if opacity is not None:
+        # alpha = o*exp(-rho/2) >= 1/255 requires rho <= rho_cut =
+        # 2*ln(255*o) — the blend accept mask skips everything beyond, so
+        # tiles only reachable at rho > rho_cut never contribute. The
+        # rho3d = rho_cut level set is a CONIC of the homography (its AABB
+        # must be recomputed at that level: projective images of concentric
+        # circles are not concentric, so scaling the 3-sigma box about its
+        # own center under-covers); the rho2d low-pass region is the disk
+        # of radius sqrt(rho_cut/2) = sqrt(rho_cut)*FILTER_SIZE about `xy`.
+        # Rows whose cut-conic AABB is degenerate (h0 <= eps or d >= 0)
+        # fall back to the reference 3-sigma box — always a superset.
+        rho_cut = jnp.clip(
+            2.0 * jnp.log(jnp.maximum(255.0 * opacity, 1e-12)),
+            0.0,
+            CUTOFF * CUTOFF,
+        )
+        opa_ok = rho_cut > 0.0  # o < 1/255 never reaches the accept mask
+        center_c, extent_c, _, h0_c = compute_aabb(hom, cutoff_sq=rho_cut)
+        cut_good = (
+            (jnp.sum(hom[..., 2, :] ** 2 * jnp.stack(
+                [rho_cut, rho_cut, -jnp.ones_like(rho_cut)], axis=-1
+            ), axis=-1) < 0.0)
+            & (h0_c[..., 0] > 1e-4)
+            & (h0_c[..., 1] > 1e-4)
+        )[..., None]
+        # Symmetric box about `center` covering (cut-conic AABB) union (the
+        # low-pass disk), with the SAME ceil as the 3-sigma formula so that
+        # rho_cut == CUTOFF^2 reproduces the reference box bit-for-bit —
+        # the exactness target is equality with the (rect  intersect
+        # alpha-accept) pipeline, and for o > e^{4.5}/255 the accept region
+        # legitimately spills past 3 sigma where the reference rect clips it.
+        lp = jnp.sqrt(rho_cut)[..., None] * FILTER_SIZE
+        # +1 px guards f32 rounding of the conic-AABB arithmetic at the
+        # alpha == 1/255 accept knife edge; the intersection below caps the
+        # box at the reference rect, so rho_cut == CUTOFF^2 still reduces
+        # to it exactly.
+        half = jnp.ceil(
+            jnp.maximum(jnp.abs(center_c - center) + extent_c, lp) + 1.0
+        )
+        lo = jnp.where(cut_good, jnp.maximum(lo, center - half), lo)
+        hi = jnp.where(cut_good, jnp.minimum(hi, center + half), hi)
+    else:
+        opa_ok = True
     rect_min = jnp.stack(
         [
-            jnp.clip(jnp.floor((center[..., 0] - rx) / TILE), 0, tiles_x),
-            jnp.clip(jnp.floor((center[..., 1] - ry) / TILE), 0, tiles_y),
+            jnp.clip(jnp.floor(lo[..., 0] / TILE), 0, tiles_x),
+            jnp.clip(jnp.floor(lo[..., 1] / TILE), 0, tiles_y),
         ],
         axis=-1,
     ).astype(jnp.int32)
     rect_max = jnp.stack(
         [
-            jnp.clip(jnp.floor((center[..., 0] + rx + TILE - 1) / TILE), 0, tiles_x),
-            jnp.clip(jnp.floor((center[..., 1] + ry + TILE - 1) / TILE), 0, tiles_y),
+            jnp.clip(jnp.floor((hi[..., 0] + TILE - 1) / TILE), 0, tiles_x),
+            jnp.clip(jnp.floor((hi[..., 1] + TILE - 1) / TILE), 0, tiles_y),
         ],
         axis=-1,
     ).astype(jnp.int32)
     area = (rect_max[..., 0] - rect_min[..., 0]) * (rect_max[..., 1] - rect_min[..., 1])
 
-    valid = in_front & front_ok & aabb_ok & (area > 0)
+    valid = in_front & front_ok & aabb_ok & (area > 0) & opa_ok
     radius = jnp.where(valid, radius, 0)
     area = jnp.where(valid, area, 0)
 

@@ -95,6 +95,9 @@ def training(args, argv_namespace=None):
         # more than the savings at 1080p — opt-in (quality-certified either
         # way by the r3 A/B).
         tight_culling=bool(getattr(args, "tight_culling", False)),
+        # opacity-aware rect (accept-mask-exact; ~6% fewer instances on
+        # trained scenes) — opt-in pending a VALID recertification
+        opacity_rect=bool(getattr(args, "opacity_rect", False)),
     )
 
     ts = TrainState.create(
@@ -415,6 +418,12 @@ def main(argv=None):
         "--tight_culling", action="store_true",
         help="per-column 3-sigma-conic tile binning (PARITY.md D2): fewer "
         "instances on anisotropic scenes at higher binning cost",
+    )
+    parser.add_argument(
+        "--opacity_rect", action="store_true",
+        help="opacity-aware tile rect: stop emitting (gaussian, tile) "
+        "overlaps that can only contribute alpha < 1/255 (accept-mask-"
+        "exact; ~6%% fewer instances on trained scenes)",
     )
     parser.add_argument(
         "--mesh", type=str, default="none", choices=["none", "tiles", "dp"],
