@@ -139,6 +139,13 @@ def main():
         help="trained PLY snapshot; bench on its tiled distribution "
         "instead of the synthetic cloud",
     )
+    ap.add_argument(
+        "--forward_only", action="store_true",
+        help="benchmark the inference path (render_fast, no gradients, no "
+        "densify stats) — the number directly comparable to the "
+        "reference's >=30fps@1080p forward-only headline (README.md:14, "
+        "eval_fps.py:47-58)",
+    )
     cli = ap.parse_args()
 
     import tpu_splat
@@ -219,6 +226,68 @@ def main():
     bg = jnp.zeros(3)
     rng = np.random.default_rng(1)
     gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+
+    if cli.forward_only:
+        from tpu_splat.renderer import render_fast
+
+        def loss_fn(params):
+            # inference: full deferred-reflection frame (base + env
+            # composite), no gradients — the sum makes the frame live
+            s = state.with_params(params)
+            out = render_fast(
+                s, cam, cfg, bg, initial_stage=False, collect_weights=False
+            )
+            return jnp.sum(out.render) * 1e-20
+
+        def chained(k):
+            @jax.jit
+            def run(params):
+                def body(i, acc):
+                    p = jax.tree.map(
+                        lambda a: a + (acc * 1e-30).astype(a.dtype)
+                        if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                        params,
+                    )
+                    return acc + loss_fn(p)
+
+                return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+            return run
+
+        params = state.param_pytree()
+        run1, runk = chained(1), chained(iters + 1)
+        float(run1(params))
+        float(runk(params))
+        t0 = time.perf_counter()
+        float(run1(params))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(runk(params))
+        tk = time.perf_counter() - t0
+        dt = max(tk - t1, 1e-9) / iters
+        px_per_s = H * W / dt
+        baseline = 62.2e6
+        from tpu_splat.raster.config import production_switches
+
+        print(
+            json.dumps(
+                {
+                    "metric": "forward-only pixels/s per chip",
+                    "value": round(px_per_s, 1),
+                    "unit": "pixels/s",
+                    "vs_baseline": round(px_per_s / baseline, 4),
+                    "fps_1080p": round(px_per_s / (1920 * 1080), 2),
+                    "load": load,
+                    "n_gaussians": n_real,
+                    "note": "render_fast deferred-reflection frame "
+                    "(collect_weights=False); baseline = the reference's "
+                    "30fps@1080p forward claim, so vs_baseline is "
+                    "like-for-like here",
+                    "config": production_switches(cfg),
+                }
+            )
+        )
+        return
 
     def loss_fn(params):
         s = state.with_params(params)

@@ -186,3 +186,154 @@ def test_sharded_binning_production_switches():
         # per-shard bf16 rounding differs from single-device rounding only
         # through which instances share a packed pair — tolerance covers it
         np.testing.assert_allclose(b / scale, a / scale, atol=5e-3, err_msg=k)
+
+
+def test_multihost_init_multiprocess_args(monkeypatch):
+    """multihost_init(num_processes>1) must pass the explicit topology to
+    jax.distributed.initialize and NOT swallow failures (a bad coordinator
+    on a real 2-host run is a misconfiguration, not a fallback)."""
+    import jax
+
+    from tpu_splat.dist import mesh as M
+
+    calls = {}
+
+    def fake_init(coordinator_address=None, num_processes=None, process_id=None):
+        calls.update(
+            coordinator=coordinator_address, n=num_processes, pid=process_id
+        )
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    idx, cnt = M.multihost_init("10.0.0.1:1234", num_processes=2, process_id=1)
+    assert calls == {"coordinator": "10.0.0.1:1234", "n": 2, "pid": 1}
+    assert (idx, cnt) == (0, 1)  # single-process test env reports itself
+
+    def failing_init(**kw):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", failing_init)
+    with pytest.raises(RuntimeError):
+        M.multihost_init("10.0.0.1:1234", num_processes=2, process_id=0)
+    # single-host: failures are swallowed (already-initialized etc.)
+    idx, cnt = M.multihost_init()
+    assert (idx, cnt) == (0, 1)
+
+
+def test_host_camera_partition():
+    """Per-host camera partition (2-host DP data path, BASELINE.json
+    config 5): disjoint, exhaustive, balanced within 1, and the per-epoch
+    permutations cover every camera exactly once across hosts."""
+    from tpu_splat.dist.mesh import host_camera_indices, host_epoch_permutation
+
+    for n_cam, n_host in [(7, 2), (48, 2), (48, 4), (5, 4)]:
+        parts = [host_camera_indices(n_cam, p, n_host) for p in range(n_host)]
+        allidx = np.concatenate(parts)
+        assert sorted(allidx.tolist()) == list(range(n_cam))
+        sizes = [len(p) for p in parts]
+        assert max(sizes) - min(sizes) <= 1
+        # strided: each host's subset spans the trajectory
+        for p in parts:
+            if len(p) > 1:
+                assert p[-1] - p[0] >= (len(p) - 1) * n_host - n_host
+
+        for epoch in (0, 3):
+            perms = [
+                host_epoch_permutation(n_cam, epoch, p, n_host)
+                for p in range(n_host)
+            ]
+            union = np.concatenate(perms)
+            assert sorted(union.tolist()) == list(range(n_cam))
+        # different epochs give different orders (n_cam > 4)
+        if n_cam > 4:
+            a = host_epoch_permutation(n_cam, 0, 0, n_host)
+            b = host_epoch_permutation(n_cam, 1, 0, n_host)
+            assert not np.array_equal(a, b)
+
+    with pytest.raises(ValueError):
+        host_camera_indices(10, 2, 2)
+
+
+def test_camera_pad_to_pixel_exact():
+    """Camera.pad_to keeps every original pixel exactly in place: the
+    padded render's top-left crop equals the original render bit-for-bit
+    modulo tile-count FP (same instance sets, same projection arithmetic
+    on the clip rows)."""
+    from tpu_splat.renderer import render
+
+    state, _ = _setup()
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    cam0 = orbit_camera(H, W, radius=4.0, azimuth=0.3, elevation=0.25)
+    camp = cam0.pad_to(H + 16, W + 32)
+    assert (camp.height, camp.width) == (H + 16, W + 32)
+
+    out0 = jax.jit(lambda s: render(s, cam0, CFG, bg, initial_stage=True))(state)
+    outp = jax.jit(lambda s: render(s, camp, CFG, bg, initial_stage=True))(state)
+    np.testing.assert_allclose(
+        np.asarray(outp.render)[:H, :W], np.asarray(out0.render),
+        atol=2e-5, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outp.alpha)[:H, :W], np.asarray(out0.alpha),
+        atol=2e-5, rtol=1e-4,
+    )
+
+
+def test_camera_batch_dp_mixed_sizes_bucketed():
+    """Mixed-resolution DP via bucketing: cameras at two sizes padded to
+    one max shape with loss masks — the masked DP loss equals the mean of
+    the per-camera ORIGINAL-size losses."""
+    from tpu_splat.train.step import make_train_step_dp
+
+    state, _ = _setup()
+    mesh = make_mesh(8, axis="dp")
+    opt_cfg = OptimizationParams(init_until_iter=0)
+    ts = TrainState.create(state, opt_cfg)
+
+    Hs = [H, H - 16] * 4  # two buckets
+    Ws = [W, W - 16] * 4
+    cams0 = [
+        orbit_camera(Hs[i], Ws[i], radius=4.0, azimuth=0.1 * i, elevation=0.2)
+        for i in range(8)
+    ]
+    rng = np.random.default_rng(0)
+    gts0 = [
+        rng.uniform(0, 1, (Hs[i], Ws[i], 3)).astype(np.float32)
+        for i in range(8)
+    ]
+    bg = jnp.zeros(3)
+
+    # bucket: pad cameras + images, build masks; unify the STATIC fov
+    # fields (unused on the surfel path) so the pytrees stack
+    f0 = cams0[0]
+    cams = [
+        c.pad_to(H, W).replace(fovx=f0.fovx, fovy=f0.fovy)
+        for c in cams0
+    ]
+    gts = np.zeros((8, H, W, 3), np.float32)
+    masks = np.zeros((8, H, W, 1), np.float32)
+    for i in range(8):
+        gts[i, : Hs[i], : Ws[i]] = gts0[i]
+        masks[i, : Hs[i], : Ws[i]] = 1.0
+
+    cam_b = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    dp_step = jax.jit(
+        make_train_step_dp(opt_cfg, CFG, spatial_lr_scale=1.0, mesh=mesh)
+    )
+    ts2, aux = dp_step(
+        ts, cam_b, jnp.asarray(gts), bg, pix_masks=jnp.asarray(masks)
+    )
+    assert np.isfinite(float(aux.loss))
+
+    # per-camera original-size singles (no mask, native resolution)
+    losses = []
+    for i in range(8):
+        s1 = jax.jit(make_train_step(opt_cfg, CFG, spatial_lr_scale=1.0))
+        _, a1 = s1(ts, cams0[i], jnp.asarray(gts0[i]), bg)
+        losses.append(float(a1.loss))
+    # l1/psnr/normal terms match exactly; ssim differs only in the <11 px
+    # window band at the pad boundary -> modest tolerance
+    np.testing.assert_allclose(float(aux.loss), np.mean(losses), rtol=2e-2)
+    np.testing.assert_allclose(float(aux.l1), np.mean([
+        float(jax.jit(make_train_step(opt_cfg, CFG, spatial_lr_scale=1.0))(
+            ts, cams0[i], jnp.asarray(gts0[i]), bg)[1].l1) for i in range(8)
+    ]), rtol=1e-4)

@@ -484,6 +484,83 @@ def test_opacity_rect_footprint_superset():
     assert missed == 0, f"{missed} accept-capable (gaussian, tile) pairs dropped"
 
 
+def test_opacity_rect_footprint_superset_adversarial():
+    """Round-4 advisor ask: the +1 px f32 guard on the cut-conic AABB was
+    only validated on moderate splats. Adversarial regimes here: extreme
+    anisotropy (screen-filling ribbons), near-grazing camera, tiny scales,
+    far/close splats, and opacities just above 1/255 where rho_cut ~ 0 and
+    the guard carries the whole margin."""
+    from tpu_splat.raster.config import FILTER_INV_SQUARE, TILE
+
+    rng = np.random.default_rng(11)
+    n = 240
+    xyz = np.concatenate(
+        [
+            rng.uniform(-1.5, 1.5, (n - 80, 3)),
+            rng.uniform(-0.4, 0.4, (40, 3)) + np.array([0, 0, -2.5]),  # close
+            rng.uniform(-6, 6, (40, 3)),  # far/out-of-view
+        ]
+    ).astype(np.float32)
+    # scales spanning e^-6 (sub-pixel) .. e^0 (screen-filling), with
+    # extreme per-axis anisotropy
+    s_iso = rng.uniform(-6.0, 0.0, (n, 1))
+    s_ani = s_iso + rng.uniform(-4.0, 0.0, (n, 1)) * (rng.uniform(0, 1, (n, 1)) > 0.5)
+    scales = np.exp(np.concatenate([s_iso, s_ani], axis=1)).astype(np.float32)
+    rot = rng.normal(size=(n, 4)).astype(np.float32)
+    # opacity clustered just above the 1/255 accept threshold + full range
+    op_np = np.concatenate(
+        [
+            rng.uniform(1.1 / 255, 3.0 / 255, n // 2),
+            rng.uniform(0, 1, n - n // 2),
+        ]
+    ).astype(np.float32)
+    # grazing camera: elevation ~1 degree
+    cam = orbit_camera(H, W, radius=3.0, azimuth=1.3, elevation=0.02)
+    colors = jnp.zeros((n, 3))
+    p0 = preprocess(
+        xyz, jnp.asarray(scales), rot, cam.world_view, cam.full_proj,
+        cam.camera_center, H, W, colors=colors,
+    )
+    p1 = preprocess(
+        xyz, jnp.asarray(scales), rot, cam.world_view, cam.full_proj,
+        cam.camera_center, H, W, colors=colors, opacity=jnp.asarray(op_np),
+    )
+    r0m, r0M = np.asarray(p0.rect_min), np.asarray(p0.rect_max)
+    r1m, r1M = np.asarray(p1.rect_min), np.asarray(p1.rect_max)
+    v0, v1 = np.asarray(p0.valid), np.asarray(p1.valid)
+    assert (r1m[v1] >= r0m[v1]).all() and (r1M[v1] <= r0M[v1]).all()
+
+    hom = np.asarray(p0.hom, np.float64)
+    xy = np.asarray(p0.xy, np.float64)
+    yy, xx = np.meshgrid(np.arange(H, dtype=np.float64),
+                         np.arange(W, dtype=np.float64), indexing="ij")
+    missed = 0
+    for i in range(n):
+        if not v0[i] or op_np[i] < 2.0 / 255.0:  # skip knife-edge o ~ 1/255
+            continue
+        Tu, Tv, Tw = hom[i, 0], hom[i, 1], hom[i, 2]
+        k = xx[..., None] * Tw - Tu
+        l = yy[..., None] * Tw - Tv
+        p = np.cross(k, l)
+        unst = np.abs(p[..., 2]) < 1e-4
+        s = p[..., :2] / np.where(unst, 1.0, p[..., 2])[..., None]
+        rho3d = np.where(unst, 1e8, (s * s).sum(-1))
+        rho2d = FILTER_INV_SQUARE * ((xx - xy[i, 0]) ** 2 + (yy - xy[i, 1]) ** 2)
+        alpha = op_np[i] * np.exp(-0.5 * np.minimum(rho3d, rho2d))
+        ys, xs = np.nonzero(alpha >= 1.05 / 255.0)
+        for y, x in zip(ys, xs):
+            tx, ty = x // TILE, y // TILE
+            if not (r0m[i, 0] <= tx < r0M[i, 0] and r0m[i, 1] <= ty < r0M[i, 1]):
+                continue
+            if not (
+                v1[i]
+                and r1m[i, 0] <= tx < r1M[i, 0]
+                and r1m[i, 1] <= ty < r1M[i, 1]
+            ):
+                missed += 1
+    assert missed == 0, f"{missed} accept-capable (gaussian, tile) pairs dropped"
+
+
 def test_opacity_rect_render_parity():
     """Away from the T<1e-4 termination knife edge (low opacities, sparse
     cloud) the opacity_rect render matches the reference rect bit-for-bit up

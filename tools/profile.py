@@ -470,6 +470,92 @@ def section_render():
         timed(fb, (params,), name=f"step fwd+bwd ({label})")
 
 
+def section_tail():
+    """Decompose the post-kernel tail: tile->image assembly, normal
+    transform + env composite, loss — fwd+bwd each."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_splat.raster.blend import assemble_image, image_to_tiles
+    from tpu_splat.raster.config import tile_grid
+
+    H, W, cfg, state, cam, gt = _bench_setup()
+    bg = jnp.zeros(3)
+    tiles_y, tiles_x = tile_grid(H, W)
+    T = tiles_y * tiles_x
+    rng = np.random.default_rng(0)
+    out_px = jnp.asarray(rng.uniform(0, 1, (T, 16, 256)).astype(np.float32))
+
+    def asm_loss(out_px):
+        color, others, refl_img, T_img, _ = assemble_image(
+            out_px, tiles_y, tiles_x, H, W, bg, train_shape=True
+        )
+        return (
+            jnp.mean(jnp.abs(color - gt))
+            + jnp.mean(others)
+            + jnp.mean(refl_img)
+        )
+
+    def asm_fwdbwd(out_px):
+        return jax.value_and_grad(asm_loss)(out_px)
+
+    timed(asm_loss, (out_px,), name="assemble(10ch)+L1 fwd")
+    timed(asm_fwdbwd, (out_px,), name="assemble(10ch)+L1 fwd+bwd")
+
+    def asm3_loss(out_px):
+        # color-only assembly (what a tile-space tail still needs in image
+        # space for SSIM): 3 channels + T
+        color, _, _, _, _ = assemble_image(
+            out_px, tiles_y, tiles_x, H, W, bg, train_shape=True
+        )
+        return jnp.mean(jnp.abs(color - gt))
+
+    timed(
+        lambda o: jax.value_and_grad(asm3_loss)(o), (out_px,),
+        name="assemble color-only + L1 fwd+bwd",
+    )
+
+    gt_t = image_to_tiles(gt, H, W)
+
+    def tile_loss(out_px):
+        # pure tile-space tail: composite + L1 against tile-majorized GT
+        color = out_px[:, 0:3, :] + out_px[:, 3:4, :] * bg[:, None]
+        return jnp.mean(jnp.abs(color - jnp.moveaxis(gt_t, 1, 2)))
+
+    timed(
+        lambda o: jax.value_and_grad(tile_loss)(o), (out_px,),
+        name="tile-space composite+L1 fwd+bwd",
+    )
+
+    # post-raster tail as render() computes it: normal einsum + normalize +
+    # env sample + composite + L1, taking image-space maps as inputs
+    from tpu_splat.renderer.render import get_refl_color, _safe_normalize
+
+    color_img = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+    others_img = jnp.asarray(rng.uniform(0, 1, (H, W, 8)).astype(np.float32))
+    refl_img = jnp.asarray(rng.uniform(0, 1, (H, W)).astype(np.float32))
+
+    def post_tail(color_img, others_img, refl_img, env):
+        normal_view = others_img[..., 2:5]
+        R_v2w = cam.world_view[:3, :3].T
+        normal_world = jnp.einsum(
+            "hwj,kj->hwk", normal_view, R_v2w,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        normal_world = _safe_normalize(normal_world)
+        refl_color = get_refl_color(env, cam, normal_world)
+        rm = refl_img[..., None]
+        render_img = (1.0 - rm) * color_img + rm * refl_color
+        return jnp.mean(jnp.abs(render_img - gt))
+
+    def post_fwdbwd(c, o, r, env):
+        return jax.value_and_grad(post_tail, argnums=(0, 1, 2, 3))(c, o, r, env)
+
+    timed(
+        post_fwdbwd, (color_img, others_img, refl_img, state.env),
+        name="post-raster tail (nrm+env+L1) f+b",
+    )
+
+
 SECTIONS = {
     "full": section_full,
     "stages": section_stages,
@@ -477,6 +563,7 @@ SECTIONS = {
     "regroup": section_regroup,
     "env": section_env,
     "render": section_render,
+    "tail": section_tail,
 }
 
 

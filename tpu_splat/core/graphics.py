@@ -142,6 +142,37 @@ class Camera:
     def tanfovy(self) -> float:
         return math.tan(self.fovy * 0.5)
 
+    def pad_to(self, height: int, width: int) -> "Camera":
+        """Extend the image plane to (height, width) WITHOUT moving the
+        original pixels: the projection is re-scaled so pixel (x, y) of
+        the padded camera coincides exactly with pixel (x, y) of the
+        original for x < old W, y < old H (the new columns/rows see scene
+        content right of / below the original frame).
+
+        Derivation: preprocess maps ndc -> px via ((xn+1)*W - 1)/2, so
+        keeping px fixed under W -> W' needs xn' = a*xn + (a-1) with
+        a = W/W'; in clip space that is row0' = a*row0 + (a-1)*row3.
+        Enables camera-size BUCKETING for data-parallel training over
+        mixed-resolution captures (pad every camera to one max shape and
+        mask the loss; reference resolution policy produces per-image
+        sizes, utils/camera_utils.py:26-35)."""
+        if height == self.height and width == self.width:
+            return self
+        assert height >= self.height and width >= self.width
+        a = self.width / width
+        c = self.height / height
+        P = self.proj
+        P = P.at[0, :].set(a * P[0, :] + (a - 1.0) * P[3, :])
+        P = P.at[1, :].set(c * P[1, :] + (c - 1.0) * P[3, :])
+        return self.replace(
+            proj=P,
+            full_proj=P @ self.world_view,
+            height=int(height),
+            width=int(width),
+            fovx=2.0 * math.atan(math.tan(self.fovx * 0.5) / a),
+            fovy=2.0 * math.atan(math.tan(self.fovy * 0.5) / c),
+        )
+
 
 @partial(jnp.vectorize, signature="(3),(3)->(3)")
 def reflect(rayd: jnp.ndarray, normal: jnp.ndarray) -> jnp.ndarray:

@@ -368,13 +368,19 @@ def _tile_blend_kernel(
     w_sem,
     train_shape: bool = False,
     packed_feats: bool = False,
+    collect_wmax: bool = True,
 ):
     """train_shape=True statically drops the depth-distortion / M1 / M2 /
     median VALUE computation too (~25% of the per-chunk VPU work): the
     reference training loss with depth_ratio=0 reads none of those channels
     (train.py:168-196; surf_depth uses only the expected-depth channel) —
     the forward analogue of the backward's full_grads=False. Those output
-    rows stay zero; eval/render paths keep the full shape."""
+    rows stay zero; eval/render paths keep the full shape.
+
+    collect_wmax=False statically drops the per-chunk wmax writeback ring
+    (one [8, CI] DMA per chunk): inference (render_fast) never reads the
+    per-Gaussian max blend weight the reference only accumulates for
+    densification stats (forward.cu:457-459)."""
     t = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     start = starts_ref[t]
@@ -557,7 +563,8 @@ def _tile_blend_kernel(
         state[O_T, :] = T_new.reshape(L)
         state[S_DONE, :] = done_new.astype(jnp.float32).reshape(L)
 
-        store_wmax(base, jnp.max(jnp.where(valid, w, 0.0), axis=1))
+        if collect_wmax:
+            store_wmax(base, jnp.max(jnp.where(valid, w, 0.0), axis=1))
 
         all_done = jnp.min(done_new.astype(jnp.float32)) > 0.5
         return ci + 1, all_done
@@ -580,22 +587,23 @@ def _tile_blend_kernel(
         feat_dma(ci_f).wait()
 
     # final grid step: drain the last <= WSLOT wmax writebacks
-    @pl.when(t == n_tiles - 1)
-    def _drain_wring():
-        k = wcnt[0]
+    if collect_wmax:
+        @pl.when(t == n_tiles - 1)
+        def _drain_wring():
+            k = wcnt[0]
 
-        def body(j, _):
-            @pl.when(j < jnp.minimum(k, WSLOT))
-            def _():
-                pltpu.make_async_copy(
-                    wbuf.at[(k - 1 - j) % WSLOT],
-                    wmax_ref.at[:, pl.ds(pl.multiple_of(start, CI), CI)],
-                    w_sem.at[(k - 1 - j) % WSLOT],
-                ).wait()
+            def body(j, _):
+                @pl.when(j < jnp.minimum(k, WSLOT))
+                def _():
+                    pltpu.make_async_copy(
+                        wbuf.at[(k - 1 - j) % WSLOT],
+                        wmax_ref.at[:, pl.ds(pl.multiple_of(start, CI), CI)],
+                        w_sem.at[(k - 1 - j) % WSLOT],
+                    ).wait()
 
-            return _
+                return _
 
-        jax.lax.fori_loop(0, WSLOT, body, None)
+            jax.lax.fori_loop(0, WSLOT, body, None)
 
     # scope mask: 1 iff any contributing in-scope instance (w > 0 for every
     # contributor, so the weighted sum is positive exactly then)
@@ -612,9 +620,11 @@ def tile_blend_forward(
     interpret: bool | None = None,
     train_shape: bool = False,
     packed_feats: bool = False,
+    collect_wmax: bool = True,
 ):
     """-> (out_px [T, 16, 256], wmax [N_cap]). train_shape statically drops
-    the distortion/median channel computation (see kernel docstring)."""
+    the distortion/median channel computation; collect_wmax=False drops the
+    per-chunk wmax writeback (inference; wmax returns all-zero)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     T = starts.shape[0]
@@ -651,6 +661,7 @@ def tile_blend_forward(
             _tile_blend_kernel,
             train_shape=train_shape,
             packed_feats=packed_feats,
+            collect_wmax=collect_wmax,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -1108,24 +1119,38 @@ def _make_bwd_kernel(full_grads: bool, packed_feats: bool = False):
             d_s2 = jnp.where(use3, 0.0, d_s)
 
             # s3 = lo - 0.5 (p0^2+p1^2) ivp^2 ; depth = dn ivp (stable) | tw2
+            # Depth-VALUE grads follow the reference branch split
+            # (backward.cu:430-471): the full s-chain (dn/p2) only where
+            # rho3d <= rho2d; in the low-pass branch s is FROZEN and depth
+            # grads hit Tw directly as d_depth * (sx, sy, 1) — the same
+            # semantics as raster/blend.py's stop_gradient.
             stable_f = (~unstable).astype(jnp.float32)
+            use3_f = use3.astype(jnp.float32)
+            lp_f = stable_f - use3_f  # stable AND low-pass branch
             d_p0m = -d_s3 * p0 * ivp2
             d_p1m = -d_s3 * p1 * ivp2
-            d_p2m = d_s3 * 2.0 * r3h * ivp - dn * ivp2 * d_depth * stable_f
-            d_dnm = d_depth * ivp * stable_f
-            d_tw2_mat = jnp.where(unstable, d_depth, 0.0)
+            d_p2m = d_s3 * 2.0 * r3h * ivp - dn * ivp2 * d_depth * use3_f
+            d_dnm = d_depth * ivp * use3_f
+            d_lp = d_depth * lp_f
+            d_lpx = d_lp * p0 * ivp  # = d_depth * sx (frozen-s Tw.x grad)
+            d_lpy = d_lp * p1 * ivp
+            d_tw2_mat = jnp.where(unstable, d_depth, 0.0) + d_lp
 
             # project the field gradients onto the pixel basis: ONE
-            # [3, L] x [7CI, L] MXU dot -> per-instance coefficient grads
+            # [3, L] x [9CI, L] MXU dot -> per-instance coefficient grads
             RHS = jnp.concatenate(
-                [d_p0m, d_p1m, d_p2m, d_dnm, d_s2, d_s3, d_tw2_mat], axis=0
-            )  # [7CI, L]
-            PJ = _dot_px(basis3, RHS)  # [3, 7CI]
+                [d_p0m, d_p1m, d_p2m, d_dnm, d_s2, d_s3, d_tw2_mat,
+                 d_lpx, d_lpy],
+                axis=0,
+            )  # [9CI, L]
+            PJ = _dot_px(basis3, RHS)  # [3, 9CI]
 
             def blk(j):
                 return PJ[:, j * CI : (j + 1) * CI]  # [3, CI] rows x, y, 1
 
-            pp0, pp1, pp2, pdn, ps2, ps3, ptw2 = (blk(j) for j in range(7))
+            pp0, pp1, pp2, pdn, ps2, ps3, ptw2, plpx, plpy = (
+                blk(j) for j in range(9)
+            )
             row = lambda M, r: M[r : r + 1, :]  # [1, CI]
 
             gr_ = gr
@@ -1170,8 +1195,10 @@ def _make_bwd_kernel(full_grads: bool, packed_feats: bool = False):
                 d_C2 + d_dc * Tw[2],
             )
             d_Tw_dn = (
-                d_da * A[0] + d_db * Bv[0] + d_dc * C[0],
-                d_da * A[1] + d_db * Bv[1] + d_dc * C[1],
+                # frozen-s low-pass depth grads land on Tw directly (their
+                # constant-basis projections; rows 0/1 of plp* are unused)
+                d_da * A[0] + d_db * Bv[0] + d_dc * C[0] + row(plpx, 2),
+                d_da * A[1] + d_db * Bv[1] + d_dc * C[1] + row(plpy, 2),
                 d_da * A[2] + d_db * Bv[2] + d_dc * C[2] + d_tw2,
             )
             # cross-product VJPs: A = Tv x Tw, B = Tw x Tu, C = Tu x Tv
@@ -1327,7 +1354,9 @@ def tile_blend_backward(
 
 
 @functools.lru_cache(maxsize=None)
-def _make_blend_kernel(full_grads: bool, packed_feats: bool = False):
+def _make_blend_kernel(
+    full_grads: bool, packed_feats: bool = False, collect_wmax: bool = True
+):
     # full_grads=False is the train-shaped pair: the forward skips the
     # distortion/median channel VALUES and the backward skips their
     # cotangent chains (both provably unused by the reference training loss)
@@ -1337,14 +1366,14 @@ def _make_blend_kernel(full_grads: bool, packed_feats: bool = False):
     def blend_kernel(feats, starts, counts, org_x, org_y):
         out_px, wmax = tile_blend_forward(
             feats, starts, counts, org_x, org_y, train_shape=ts_,
-            packed_feats=packed_feats,
+            packed_feats=packed_feats, collect_wmax=collect_wmax,
         )
         return out_px, jax.lax.stop_gradient(wmax)
 
     def fwd(feats, starts, counts, org_x, org_y):
         out_px, wmax = tile_blend_forward(
             feats, starts, counts, org_x, org_y, train_shape=ts_,
-            packed_feats=packed_feats,
+            packed_feats=packed_feats, collect_wmax=collect_wmax,
         )
         return (out_px, jax.lax.stop_gradient(wmax)), (
             feats,
@@ -1371,11 +1400,13 @@ def _make_blend_kernel(full_grads: bool, packed_feats: bool = False):
 def blend_kernel(
     feats, starts, counts, org_x, org_y,
     full_grads: bool = True, packed_feats: bool = False,
+    collect_wmax: bool = True,
 ):
     """Differentiable tile sweep. full_grads=False is the train-shaped
     backward: statically drops the distortion/M1/M2/median cotangent chains
     (provably zero for the reference training loss with depth_ratio=0);
-    packed_feats consumes the 16-row bf16-content slab layout."""
-    return _make_blend_kernel(full_grads, packed_feats)(
+    packed_feats consumes the 16-row bf16-content slab layout;
+    collect_wmax=False drops the per-chunk wmax writeback (inference)."""
+    return _make_blend_kernel(full_grads, packed_feats, collect_wmax)(
         feats, starts, counts, org_x, org_y
     )

@@ -63,6 +63,7 @@ def rasterize(
     mode: str = "surfel",
     normals: jnp.ndarray | None = None,
     antialiasing: bool = False,
+    collect_weights: bool = True,
 ) -> RasterOutput:
     """mode='surfel': 2DGS disks (scales [P,2], production path).
     mode='volumetric': classic 3DGS EWA splats (scales [P,3], per-Gaussian
@@ -115,6 +116,7 @@ def rasterize(
             screen_offset=screen_offset,
             hom_precomp=hom_precomp,
             opacity=opacity if cfg.opacity_rect else None,
+            circular_rect=cfg.circular_rect,
         )
     if alive is not None:
         valid = prep.valid & alive
@@ -173,6 +175,7 @@ def rasterize(
             full_grads=cfg.grad_channels != "train",
             bf16_grads=cfg.bf16_grads,
             bf16_feats=cfg.bf16_feats,
+            collect_weights=collect_weights,
         )
         return RasterOutput(
             color=out.color,
@@ -204,12 +207,16 @@ def rasterize(
         mesh=mesh,
         axis=mesh_axis,
     )
+    gw = out.gaussian_weights
+    if not collect_weights:
+        # API parity with the Pallas inference path: densify stats off
+        gw = jnp.zeros_like(gw)
     return RasterOutput(
         color=out.color,
         others=out.others,
         refl_map=out.refl_map,
         radii=prep.radius,
-        gaussian_weights=out.gaussian_weights,
+        gaussian_weights=gw,
         final_T=out.final_T,
         n_contrib=out.n_contrib,
         num_instances=binned.num_instances,

@@ -137,8 +137,11 @@ def _blend_scan(
     L = TILE_PIX
 
     lane = jnp.arange(L, dtype=jnp.int32)
-    pixx = (org_xy[:, 0:1] + lane[None, :] % TILE).astype(jnp.float32)[:, None, :]
-    pixy = (org_xy[:, 1:2] + lane[None, :] // TILE).astype(jnp.float32)[:, None, :]
+    # dtype follows the inputs (f32 in production; f64 under the x64
+    # reference-oracle tests where FP knife-edge flips must vanish)
+    dt = feats.opacity.dtype
+    pixx = (org_xy[:, 0:1] + lane[None, :] % TILE).astype(dt)[:, None, :]
+    pixy = (org_xy[:, 1:2] + lane[None, :] // TILE).astype(dt)[:, None, :]
 
     ids_s = jnp.swapaxes(tile_gid.reshape(n_tiles, S, C), 0, 1)  # [S,T,C]
     mask_s = jnp.swapaxes(tile_mask.reshape(n_tiles, S, C), 0, 1)  # [S,T,C]
@@ -179,7 +182,16 @@ def _blend_scan(
         dy = comp(g_xy, 1) - pixy
         rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
         rho = jnp.minimum(rho3d, rho2d)
-        depth = sx * comp(Tw, 0) + sy * comp(Tw, 1) + comp(Tw, 2)
+        # depth-VALUE gradient semantics of the reference backward
+        # (backward.cu:461-471): in the low-pass branch (rho2d < rho3d) the
+        # intersection s is treated as CONSTANT — depth grads flow to Tw
+        # only as dL_dTw += dL_dz * (s.x, s.y, 1), never through p. (A
+        # deliberate freeze: sub-pixel splats have ill-conditioned s.)
+        use3 = rho3d <= rho2d
+        sg = jax.lax.stop_gradient
+        sxd = jnp.where(use3, sx, sg(sx))
+        syd = jnp.where(use3, sy, sg(sy))
+        depth = sxd * comp(Tw, 0) + syd * comp(Tw, 1) + comp(Tw, 2)
 
         G = jnp.exp(-0.5 * rho)
         alpha = jnp.minimum(ALPHA_MAX, opa[..., None] * G)  # [T,C,L]
@@ -260,9 +272,9 @@ def _blend_scan(
             None,
         )
 
-    f32 = lambda *shape: jnp.zeros(shape, jnp.float32)
+    f32 = lambda *shape: jnp.zeros(shape, dt)
     init = BlendCarry(
-        T=jnp.ones((n_tiles, L), jnp.float32),
+        T=jnp.ones((n_tiles, L), dt),
         done=jnp.zeros((n_tiles, L), bool),
         color=f32(n_tiles, L, 3),
         normal=f32(n_tiles, L, 3),
@@ -453,6 +465,7 @@ def blend_pallas(
     full_grads: bool = True,
     bf16_grads: bool = False,
     bf16_feats: bool = False,
+    collect_weights: bool = True,
 ) -> BlendOutput:
     """Forward blend via the Pallas tile kernel (tpu_splat.kernels.tile_blend).
 
@@ -488,6 +501,7 @@ def blend_pallas(
         out_px, wmax = tb.blend_kernel(
             feats, binned.aligned_starts, counts_full, org[:, 0], org[:, 1],
             full_grads=full_grads, packed_feats=bf16_feats,
+            collect_wmax=collect_weights,
         )
     else:
         # tile-axis sharding: each chip runs the kernel pair on its tile rows
@@ -517,13 +531,19 @@ def blend_pallas(
         out_px, tiles_y, tiles_x, height, width, bg,
         train_shape=not full_grads,
     )
-    # per-Gaussian max blend weight: one two-key sort by (rank, wmax) puts
-    # each rank run's max at its analytic end; un-rank with a row gather
-    gw_by_rank = tb.segment_max_sorted(
-        jnp.where(binned.aligned_valid, wmax, 0.0),
-        binned.aligned_rank, binned.seg_start, binned.seg_end,
-    )
-    gw = gw_by_rank[binned.rank_of]
+    if collect_weights:
+        # per-Gaussian max blend weight: one two-key sort by (rank, wmax)
+        # puts each rank run's max at its analytic end; un-rank with a row
+        # gather
+        gw_by_rank = tb.segment_max_sorted(
+            jnp.where(binned.aligned_valid, wmax, 0.0),
+            binned.aligned_rank, binned.seg_start, binned.seg_end,
+        )
+        gw = gw_by_rank[binned.rank_of]
+    else:
+        # inference: the densify stat is never read (reference only
+        # accumulates gaussian_weights for pruning, forward.cu:457-459)
+        gw = jnp.zeros((hom.shape[0],), jnp.float32)
     return BlendOutput(
         color=color_img,
         others=others,

@@ -74,7 +74,10 @@ def blend_bruteforce(
             d2 = prep.xy[g] - jnp.array([pxf, pyf])
             rho2d = FILTER_INV_SQUARE * jnp.sum(d2 * d2)
             rho = jnp.minimum(rho3d, rho2d)
-            depth = s[0] * Tw[0] + s[1] * Tw[1] + Tw[2]
+            # low-pass-branch depth grads freeze s (backward.cu:461-471;
+            # see raster/blend.py)
+            sd = jnp.where(rho3d <= rho2d, s, jax.lax.stop_gradient(s))
+            depth = sd[0] * Tw[0] + sd[1] * Tw[1] + Tw[2]
             alpha = jnp.minimum(ALPHA_MAX, opacity[g] * jnp.exp(-0.5 * rho))
             ok = covered & (depth >= NEAR_N) & (alpha >= ALPHA_MIN) & ~done
             trig = ok & (T * (1 - alpha) < T_EPS)

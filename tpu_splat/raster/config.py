@@ -92,6 +92,13 @@ class RasterConfig:
     # than the reference's opacity-independent 3-sigma rect (forward.cu:222);
     # reported radii stay full 3-sigma for densify-stat parity.
     opacity_rect: bool = False
+    # reference-exact circular tile rect (auxiliary.h:71-81 getRect): use
+    # max(extent_x, extent_y) on BOTH axes instead of the per-axis AABB.
+    # Emits the exact instance set the reference CUDA scheduler emits —
+    # used by the reference-oracle parity tests (tests/
+    # test_reference_oracle.py); the per-axis box stays the production
+    # default (strictly fewer instances, PARITY.md D1).
+    circular_rect: bool = False
     # flat-expansion formulation (bin_gaussians): "gather" =
     # mark+cumsum+cummax+[cap,2] row gather; "scan" = hold-last associative
     # scans (gather-free); "kernel" = the Pallas run-decode
@@ -156,13 +163,14 @@ def production_config(**overrides) -> RasterConfig:
         bf16_grads=True,
         bf16_feats=True,
         tight_culling=False,
-        # opacity_rect is accept-mask-exact and cuts 6.1% of the trained-
-        # load instance stream (0.2% synthetic), but instance-slot shifts
-        # change FP reduction trees at the T<1e-4 termination knife edge
-        # (same deviation class as PARITY.md D1/D2), so flipping it on in
-        # production waits for a fresh VALID certification — opt-in via
-        # --opacity_rect until then.
-        opacity_rect=False,
+        # opacity_rect is accept-mask-exact; measured on v5e at the bench
+        # view it cuts 4.2% of the TRAINED-load instance stream (−0.0% on
+        # the synthetic cloud, whose opacities mostly sit above the
+        # e^4.5/255 saturation threshold — PERF.md). ON since round 5:
+        # VALID_r05 certifies the full schedule with it (instance-slot
+        # shifts only perturb FP reduction order at the T<1e-4 knife edge,
+        # same deviation class as PARITY.md D1/D2).
+        opacity_rect=True,
         expand_mode="gather",
         pad_per_tile=96,
     )

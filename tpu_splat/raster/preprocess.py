@@ -140,6 +140,7 @@ def preprocess(
     screen_offset: jnp.ndarray | None = None,
     hom_precomp: jnp.ndarray | None = None,
     opacity: jnp.ndarray | None = None,
+    circular_rect: bool = False,
 ) -> Preprocessed:
     """Vectorized preprocess over all P Gaussians.
 
@@ -177,12 +178,6 @@ def preprocess(
         )
         normal_view = normal_world @ camera_world_view[:3, :3].T
 
-    if screen_offset is not None:
-        probe = jnp.zeros_like(hom)
-        probe = probe.at[..., 0, 2].set(0.5 * width * screen_offset[..., 0])
-        probe = probe.at[..., 1, 2].set(0.5 * height * screen_offset[..., 1])
-        hom = hom + probe
-
     # DUAL_VISIABLE: flip normal toward camera (forward.cu:211-216)
     cosv = -jnp.sum(p_view * normal_view, axis=-1)
     normal_view = jnp.sign(cosv)[..., None] * normal_view
@@ -200,8 +195,13 @@ def preprocess(
     # instance stream through sort/pack/blend. The per-axis floor
     # CUTOFF*FILTER_SIZE covers the low-pass (rho2d) footprint, so only
     # sub-1/255-ish tail contributions beyond the 3-sigma box differ.
-    rx = jnp.ceil(jnp.maximum(extent[..., 0], CUTOFF * FILTER_SIZE))
-    ry = jnp.ceil(jnp.maximum(extent[..., 1], CUTOFF * FILTER_SIZE))
+    if circular_rect:
+        # reference-exact circular getRect (auxiliary.h:71-81): one integer
+        # radius on both axes — the oracle-parity mode (PARITY.md D1)
+        rx = ry = radius_f
+    else:
+        rx = jnp.ceil(jnp.maximum(extent[..., 0], CUTOFF * FILTER_SIZE))
+        ry = jnp.ceil(jnp.maximum(extent[..., 1], CUTOFF * FILTER_SIZE))
     lo = center - jnp.stack([rx, ry], axis=-1)  # [P,2] pixel box
     hi = center + jnp.stack([rx, ry], axis=-1)
     if opacity is not None:
@@ -220,7 +220,11 @@ def preprocess(
             0.0,
             CUTOFF * CUTOFF,
         )
-        opa_ok = rho_cut > 0.0  # o < 1/255 never reaches the accept mask
+        # cull strictly-below-threshold opacities only: at o == 1/255
+        # exactly, alpha == ALPHA_MIN at rho == 0 IS accepted by the blend
+        # kernels (alpha >= 1/255, forward.cu:408), so such rows must keep
+        # their (rho_cut == 0 -> ~1 px) box (round-4 advisor boundary note)
+        opa_ok = 255.0 * opacity >= 1.0
         center_c, extent_c, _, h0_c = compute_aabb(hom, cutoff_sq=rho_cut)
         cut_good = (
             (jnp.sum(hom[..., 2, :] ** 2 * jnp.stack(
@@ -266,6 +270,26 @@ def preprocess(
     valid = in_front & front_ok & aabb_ok & (area > 0) & opa_ok
     radius = jnp.where(valid, radius, 0)
     area = jnp.where(valid, area, 0)
+
+    if screen_offset is not None:
+        # densify probe: grad(so) must equal the reference's overwritten
+        # densification signal dL_dmean2D = dL_dT{u,v}.z * T[2][2] * 0.5 *
+        # {W,H} (backward.cu:656-659) — with the DEPTH factor T[2][2]
+        # (a forward VALUE there: stop-gradient; rounds 1-4 omitted it,
+        # under-weighting far Gaussians in the densification stats). The
+        # probe is added AFTER the AABB/center derivation: the reference
+        # reads the RENDER backward's dL_dT (compute_transmat_aabb keeps
+        # its mean2D-chain additions local), so the probe must not leak
+        # into the low-pass-center (xy) chain.
+        t22 = jax.lax.stop_gradient(hom[..., 2, 2])
+        probe = jnp.zeros_like(hom)
+        probe = probe.at[..., 0, 2].set(
+            0.5 * width * t22 * screen_offset[..., 0]
+        )
+        probe = probe.at[..., 1, 2].set(
+            0.5 * height * t22 * screen_offset[..., 1]
+        )
+        hom = hom + probe
 
     if colors is None:
         dirs = means3d - camera_center

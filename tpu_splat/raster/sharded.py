@@ -67,6 +67,17 @@ def rasterize_tiles_sharded(
             f"max_instances {cfg.max_instances} must divide by the mesh "
             f"size {n} for sharded binning"
         )
+    if cfg.tight_culling:
+        # loud, not silent (round-4 verdict): the two-level conic decode
+        # is built on global-pixel-space tables and does not compose with
+        # per-slab rect clipping; sharded runs use the rect pipeline
+        import warnings
+
+        warnings.warn(
+            "tight_culling does not compose with sharded tile-slab "
+            "binning; falling back to the rect pipeline on every shard",
+            stacklevel=3,
+        )
     cfg_local = dataclasses.replace(
         cfg,
         max_instances=cfg.max_instances // n,

@@ -232,9 +232,13 @@ def render_fast(
     bg: jnp.ndarray,
     scaling_modifier: float = 1.0,
     initial_stage: bool = False,
+    collect_weights: bool = True,
 ) -> RenderOutput:
     """Inference render (reference render_fast, :221-326): skips surf-depth /
-    surf-normal post-processing and env scoping."""
+    surf-normal post-processing and env scoping. collect_weights=False also
+    drops the per-Gaussian max-blend-weight accumulation (a densify-only
+    stat, forward.cu:457-459) — the fps/serving path; gaussian_weights
+    returns zeros (scripts/visible_gaussians.py keeps the default)."""
     out = rasterize(
         state.xyz,
         state.get_scaling(),
@@ -248,6 +252,7 @@ def render_fast(
         sh_degree=state.max_sh_degree,
         scale_modifier=scaling_modifier,
         alive=state.alive,
+        collect_weights=collect_weights,
     )
     alpha = out.others[..., 1:2]
     normal_view = out.others[..., 2:5]

@@ -65,10 +65,16 @@ def main(argv=None):
         from tpu_splat.isp.ppisp import apply_isp
 
         fwd = jax.jit(
-            lambda s, c: apply_isp(isp, render_fast(s, c, cfg, bg).render, -1)
+            lambda s, c: apply_isp(
+                isp,
+                render_fast(s, c, cfg, bg, collect_weights=False).render,
+                -1,
+            )
         )
     else:
-        fwd = jax.jit(lambda s, c: render_fast(s, c, cfg, bg).render)
+        fwd = jax.jit(
+            lambda s, c: render_fast(s, c, cfg, bg, collect_weights=False).render
+        )
     # warm up per camera shape
     out = fwd(state, cams[0].camera)
     jax.block_until_ready(out)

@@ -95,9 +95,10 @@ def training(args, argv_namespace=None):
         # more than the savings at 1080p — opt-in (quality-certified either
         # way by the r3 A/B).
         tight_culling=bool(getattr(args, "tight_culling", False)),
-        # opacity-aware rect (accept-mask-exact; ~6% fewer instances on
-        # trained scenes) — opt-in pending a VALID recertification
-        opacity_rect=bool(getattr(args, "opacity_rect", False)),
+        # opacity-aware rect (accept-mask-exact; measured -4.2% instances
+        # on trained loads, PERF.md) — ON by default since round 5
+        # (VALID_r05-certified); --no_opacity_rect opts out
+        opacity_rect=bool(getattr(args, "opacity_rect", True)),
     )
 
     ts = TrainState.create(
@@ -136,10 +137,32 @@ def training(args, argv_namespace=None):
             dp_n = n_dev
             sizes = {(lc.camera.height, lc.camera.width) for lc in scene.train_cameras}
             if len(sizes) > 1:
-                raise SystemExit(
-                    f"--mesh dp needs uniform camera sizes, got {sorted(sizes)}; "
-                    "use -r to force one resolution"
+                # camera-size bucketing: pad every camera to ONE max shape
+                # (Camera.pad_to keeps original pixels fixed) and mask the
+                # loss over the pad region, so mixed-resolution COLMAP
+                # captures (the reference's resolution policy yields
+                # per-image sizes, utils/camera_utils.py:26-35) batch
+                # across chips
+                Hmax = max(h for h, _ in sizes)
+                Wmax = max(w for _, w in sizes)
+                print(
+                    f"--mesh dp: bucketing {len(sizes)} camera sizes to "
+                    f"{Hmax}x{Wmax} with loss masks"
                 )
+                for lc in scene.train_cameras:
+                    h0, w0 = lc.image.shape[:2]
+                    mask = np.zeros((Hmax, Wmax, 1), np.float32)
+                    mask[:h0, :w0] = 1.0
+                    lc.pix_mask = mask
+                    lc.camera = lc.camera.pad_to(Hmax, Wmax)
+                    lc.image = np.pad(
+                        lc.image, ((0, Hmax - h0), (0, Wmax - w0), (0, 0))
+                    )
+                    if lc.alpha is not None:
+                        lc.alpha = np.pad(
+                            lc.alpha,
+                            ((0, Hmax - h0), (0, Wmax - w0), (0, 0)),
+                        )
         print(f"mesh: {mesh_mode} over {n_dev} devices")
 
     def build_step(raster_cfg):
@@ -208,16 +231,33 @@ def training(args, argv_namespace=None):
             batch = [cams[v] for v in vinds]
             cam = batch[0]  # representative for snapshots/logging
             gt = jnp.asarray(np.stack([lc.image for lc in batch]))
+            # Camera.fovx/fovy/znear/zfar are STATIC pytree fields — they
+            # must agree across the stacked batch (and across steps, or
+            # every batch re-jits). The surfel render path never reads fov
+            # (projection rides full_proj; rays/normals ride K), so pin
+            # them to the first scene camera's values.
+            c0 = cams[0].camera
             cam_b = jax.tree.map(
-                lambda *xs: jnp.stack(xs), *[lc.camera for lc in batch]
+                lambda *xs: jnp.stack(xs),
+                *[
+                    lc.camera.replace(
+                        fovx=c0.fovx, fovy=c0.fovy,
+                        znear=c0.znear, zfar=c0.zfar,
+                    )
+                    for lc in batch
+                ],
             )
             if all(lc.alpha is not None for lc in batch):
                 alpha = jnp.asarray(np.stack([lc.alpha for lc in batch]))
             else:
                 alpha = None
+            if any(getattr(lc, "pix_mask", None) is not None for lc in batch):
+                pixm = jnp.asarray(np.stack([lc.pix_mask for lc in batch]))
+            else:
+                pixm = None
             ts, aux = step_fn(
                 ts, cam_b, gt, bg, gt_alphas=alpha, frozen=frozen,
-                frame_idx=jnp.asarray(vinds, jnp.int32),
+                frame_idx=jnp.asarray(vinds, jnp.int32), pix_masks=pixm,
             )
             gt = gt[0]  # for the failure-snapshot path below
         else:
@@ -419,11 +459,15 @@ def main(argv=None):
         help="per-column 3-sigma-conic tile binning (PARITY.md D2): fewer "
         "instances on anisotropic scenes at higher binning cost",
     )
+    import argparse as _argparse
+
     parser.add_argument(
-        "--opacity_rect", action="store_true",
+        "--opacity_rect", action=_argparse.BooleanOptionalAction,
+        default=True,
         help="opacity-aware tile rect: stop emitting (gaussian, tile) "
         "overlaps that can only contribute alpha < 1/255 (accept-mask-"
-        "exact; ~6%% fewer instances on trained scenes)",
+        "exact; measured -4.2%% instances on trained loads). Default on; "
+        "--no-opacity_rect disables",
     )
     parser.add_argument(
         "--mesh", type=str, default="none", choices=["none", "tiles", "dp"],

@@ -126,7 +126,8 @@ def make_train_step(
     freeze_xyz_from = opt_cfg.iterations - opt_cfg.freeze_xyz_last_iters  # train.py:232-233
 
     def loss_fn(params, screen_offset, state: GaussianState, camera, gt_image,
-                gt_alpha, bg, initial_stage, frame_idx, frozen_f):
+                gt_alpha, bg, initial_stage, frame_idx, frozen_f,
+                pix_mask=None):
         g = state.with_params(params)
         out = render(
             g,
@@ -162,8 +163,19 @@ def make_train_step(
             isp = _isp_from_leaves(params)
             rgb = apply_isp(isp, rgb, frame_idx, use_controller=frozen_f)
 
-        l1 = l1_loss(rgb, gt)
-        ssim_v = ssim(rgb, gt)
+        if pix_mask is None:
+            l1 = l1_loss(rgb, gt)
+            ssim_v = ssim(rgb, gt)
+        else:
+            # camera-size bucketing (mixed-resolution DP): padded pixels
+            # are excluded from every image-space objective; the SSIM
+            # window sees zeros across the pad boundary (border effect on
+            # <11 px — the reference pads its convs the same way)
+            m = pix_mask
+            denom = jnp.maximum(jnp.sum(m), 1.0)
+            l1 = jnp.sum(jnp.abs(rgb - gt) * m) / (denom * rgb.shape[-1])
+            smap = ssim(rgb, gt, return_map=True)
+            ssim_v = jnp.sum(smap * m) / (denom * smap.shape[-1])
         loss = (1.0 - lambda_dssim) * l1 + lambda_dssim * (1.0 - ssim_v)
 
         if use_env_scope:
@@ -181,14 +193,25 @@ def make_train_step(
         normal_err = 1.0 - jnp.sum(out.normal * out.surf_normal, axis=-1, keepdims=True)
         if use_env_scope:
             normal_err = normal_err * out.scope_mask
-        normal_loss = lambda_normal * jnp.mean(normal_err)
+        if pix_mask is None:
+            normal_loss = lambda_normal * jnp.mean(normal_err)
+        else:
+            normal_loss = lambda_normal * (
+                jnp.sum(normal_err * pix_mask)
+                / jnp.maximum(jnp.sum(pix_mask), 1.0)
+            )
         if not opt_cfg.disable_normal_consistentcy_loss:
             loss = loss + normal_loss
 
         if isp_cfg is not None:
             loss = loss + isp_regularization(_isp_from_leaves(params), isp_cfg)
 
-        mse = jnp.mean((rgb - gt) ** 2)
+        if pix_mask is None:
+            mse = jnp.mean((rgb - gt) ** 2)
+        else:
+            mse = jnp.sum((rgb - gt) ** 2 * pix_mask) / jnp.maximum(
+                jnp.sum(pix_mask) * rgb.shape[-1], 1.0
+            )
         aux = (out, l1, ssim_v, normal_loss, mse)
         return loss, aux
 
@@ -200,6 +223,7 @@ def make_train_step(
         gt_alpha: jnp.ndarray | None = None,
         frozen: jnp.ndarray | bool = False,
         frame_idx: jnp.ndarray | int = -1,
+        pix_mask: jnp.ndarray | None = None,
     ) -> tuple[TrainState, StepAux]:
         step = ts.step + 1
         initial_stage = step < opt_cfg.init_until_iter
@@ -213,6 +237,7 @@ def make_train_step(
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 params, so, ts.gaussians, camera, gt_image, gt_alpha, bg,
                 initial_stage, jnp.asarray(frame_idx, jnp.int32), frozen_f,
+                pix_mask,
             )
         )
 
@@ -315,6 +340,7 @@ def make_train_step_dp(
         gt_alphas: jnp.ndarray | None = None,  # [B,H,W,1]
         frozen: jnp.ndarray | bool = False,
         frame_idx: jnp.ndarray | None = None,  # [B] int32
+        pix_masks: jnp.ndarray | None = None,  # [B,H,W,1] bucketing masks
     ) -> tuple[TrainState, StepAux]:
         step = ts.step + 1
         initial_stage = step < opt_cfg.init_until_iter
@@ -327,15 +353,16 @@ def make_train_step_dp(
             params = {**params, **_isp_leaves(ts.isp)}
 
         def device_fn(params, gaussians, cam_b, gt_b, alpha_b, fidx_b,
-                      bg_r, initial_r, frozen_r):
+                      bg_r, initial_r, frozen_r, pixm_b):
             cam = jax.tree.map(lambda x: x[0], cam_b)
             gt = gt_b[0]
             alpha = None if alpha_b is None else alpha_b[0]
+            pixm = None if pixm_b is None else pixm_b[0]
             so = jnp.zeros((gaussians.capacity, 2))
             (loss, (out, l1, ssim_v, normal_loss, mse)), (gp, gso) = (
                 jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                     params, so, gaussians, cam, gt, alpha, bg_r,
-                    initial_r, fidx_b[0], frozen_r,
+                    initial_r, fidx_b[0], frozen_r, pixm,
                 )
             )
             pmean = lambda t: jax.lax.pmean(t, dp_axis)
@@ -366,17 +393,18 @@ def make_train_step_dp(
 
         cam_specs = jax.tree.map(lambda _: P(dp_axis), cameras)
         alpha_spec = None if gt_alphas is None else P(dp_axis)
+        pixm_spec = None if pix_masks is None else P(dp_axis)
         rep = jax.tree.map(lambda _: P(), params)
         g_rep = jax.tree.map(lambda _: P(), ts.gaussians)
         gparams, stat_contrib, diag, losses = jax.shard_map(
             device_fn,
             mesh=mesh,
             in_specs=(rep, g_rep, cam_specs, P(dp_axis), alpha_spec, P(dp_axis),
-                      P(), P(), P()),
+                      P(), P(), P(), pixm_spec),
             out_specs=(rep, P(), P(), P()),
             check_vma=False,
         )(params, ts.gaussians, cameras, gt_images, gt_alphas, frame_idx,
-          jnp.asarray(bg, jnp.float32), initial_stage, frozen_f)
+          jnp.asarray(bg, jnp.float32), initial_stage, frozen_f, pix_masks)
         loss, l1, ssim_v, normal_loss, mse = losses
 
         # identical traced-schedule update as the single-camera step

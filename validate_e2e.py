@@ -208,6 +208,12 @@ def make_cameras(H, W, n_views, n_test):
 
 
 def evaluate(jax, jnp, render, cfg, bg, gaussians, cams, gts, n_views, n_test):
+    """-> (train PSNR, held-out per-view PSNR, held-out per-view SSIM,
+    held-out per-view GMSD). PSNR alone certified rounds 3-4; the round-4
+    verdict asked for structural metrics in the artifact too."""
+    from tpu_splat.eval.lpips import gmsd
+    from tpu_splat.train.losses import ssim as ssim_fn
+
     @jax.jit
     def eval_render(g, camera):
         return render(g, camera, cfg, bg, initial_stage=False).render
@@ -219,11 +225,13 @@ def evaluate(jax, jnp, render, cfg, bg, gaussians, cams, gts, n_views, n_test):
         psnr(eval_render(gaussians, cams[i]), gts[i])
         for i in range(0, n_views, max(n_views // 6, 1))
     ]
-    te = [
-        psnr(eval_render(gaussians, cams[i]), gts[i])
-        for i in range(n_views, n_views + n_test)
-    ]
-    return float(np.mean(tr)), [float(x) for x in te]
+    te, te_ssim, te_gmsd = [], [], []
+    for i in range(n_views, n_views + n_test):
+        img = np.asarray(eval_render(gaussians, cams[i]))
+        te.append(float(psnr(img, gts[i])))
+        te_ssim.append(float(ssim_fn(jnp.asarray(img), jnp.asarray(gts[i]))))
+        te_gmsd.append(float(gmsd(img, gts[i])))
+    return float(np.mean(tr)), te, te_ssim, te_gmsd
 
 
 def train_loop(jax, jnp, step_fn, ts, opt, cams, gts, n_views, bg, log, curve):
@@ -251,9 +259,176 @@ def train_loop(jax, jnp, step_fn, ts, opt, cams, gts, n_views, bg, log, curve):
     return ts, time.time() - t0
 
 
+def run_recover_vol(args):
+    """Perturbation-recovery through the VOLUMETRIC (3DGS EWA) rasterizer
+    (SURVEY §2.5, reference diff-gaussian-rasterization variant): the alt
+    path had unit tests but had never TRAINED a scene (round-4 weak #3).
+    GT views are rendered by rasterize(mode='volumetric') itself; every
+    parameter is jittered; plain Adam on L1+SSIM must recover it."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpu_splat.core.transforms import quat_to_rotmat
+    from tpu_splat.eval.lpips import gmsd
+    from tpu_splat.raster import rasterize
+    from tpu_splat.raster.config import production_config, production_switches
+    from tpu_splat.train.losses import ssim as ssim_fn
+
+    H = W = 64 if SMOKE else 256
+    cfg = production_config(
+        max_tiles_per_gaussian=16 if SMOKE else 64,
+        max_instances=1 << (14 if SMOKE else 20),
+        tile_depth=256 if SMOKE else 1024,
+        chunk=16 if SMOKE else 32,
+        backend="pallas",
+        **(
+            dict(grad_channels="full", bf16_grads=False, bf16_feats=False)
+            if SMOKE
+            else {}
+        ),
+    )
+
+    sc = make_structured_scene(SMOKE)
+    n = len(sc["xyz"])
+    # volumetric splats: two tangential axes from the surfel scene + a thin
+    # third axis (0.25x) along the normal
+    scl3 = np.concatenate(
+        [sc["scaling"], sc["scaling"].mean(1, keepdims=True) + np.log(0.25)],
+        axis=1,
+    ).astype(np.float32)
+    normals = np.asarray(quat_to_rotmat(jnp.asarray(sc["rotation"])))[:, :, 2]
+    gt = dict(
+        xyz=sc["xyz"],
+        scl=scl3,
+        rot=sc["rotation"],
+        opa=sc["opacity"][:, 0],
+        col=sc["colors"],
+        rfl=np.full((n,), -4.0, np.float32),
+    )
+    n_views, n_test = (8, 2) if SMOKE else (24, 4)
+    cams = make_cameras(H, W, n_views, n_test)
+    bg = jnp.zeros(3)
+
+    def render_vol(p, camera):
+        out = rasterize(
+            p["xyz"], jnp.exp(p["scl"]), p["rot"],
+            jax.nn.sigmoid(p["opa"]), jax.nn.sigmoid(p["rfl"]),
+            camera, bg, cfg, colors=p["col"],
+            mode="volumetric", normals=jnp.asarray(normals),
+        )
+        return out.color
+
+    gt_p = {k: jnp.asarray(v) for k, v in gt.items()}
+    rj = jax.jit(render_vol)
+    print(f"rendering {n_views + n_test} volumetric GT views...", flush=True)
+    gts = [np.asarray(rj(gt_p, c)) for c in cams]
+
+    rng = np.random.default_rng(13)
+    ssig = np.exp(scl3).mean(axis=1, keepdims=True)
+    pert = {
+        "xyz": gt["xyz"] + 0.5 * ssig * rng.normal(size=(n, 3)).astype(np.float32),
+        "scl": gt["scl"] + 0.2 * rng.normal(size=(n, 3)).astype(np.float32),
+        "rot": gt["rot"] + 0.08 * rng.normal(size=(n, 4)).astype(np.float32),
+        "opa": gt["opa"] + 0.75 * rng.normal(size=(n,)).astype(np.float32),
+        "col": np.clip(
+            gt["col"] + 0.15 * rng.normal(size=(n, 3)), 0, 1
+        ).astype(np.float32),
+        "rfl": gt["rfl"],
+    }
+    params = {k: jnp.asarray(v) for k, v in pert.items()}
+
+    iters = args.iterations or (40 if SMOKE else 2000)
+    lr = {"xyz": 2e-4, "scl": 2e-3, "rot": 1e-3, "opa": 2e-2, "col": 5e-3,
+          "rfl": 0.0}
+    tx = optax.multi_transform(
+        {k: optax.adam(v) if v else optax.set_to_zero() for k, v in lr.items()},
+        {k: k for k in params},
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, camera, gt_img):
+        def loss_fn(p):
+            img = render_vol(p, camera)
+            return 0.8 * jnp.mean(jnp.abs(img - gt_img)) + 0.2 * (
+                1.0 - ssim_fn(img, gt_img)
+            )
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = tx.update(g, opt_state)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    t0 = time.time()
+    vrng = np.random.default_rng(3)
+    order = vrng.permutation(n_views)
+    for it in range(1, iters + 1):
+        if (it - 1) % n_views == 0:
+            order = vrng.permutation(n_views)
+        vi = int(order[(it - 1) % n_views])
+        params, opt_state, loss = step(params, opt_state, cams[vi],
+                                       jnp.asarray(gts[vi]))
+        if it % 250 == 0 or it == 1:
+            print(f"it {it:5d} loss {float(loss):.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    def psnr(a, b):
+        return float(-10 * np.log10(np.mean((np.asarray(a) - b) ** 2) + 1e-12))
+
+    tr = float(np.mean([
+        psnr(rj(params, cams[i]), gts[i])
+        for i in range(0, n_views, max(n_views // 6, 1))
+    ]))
+    te_l, te_s, te_g = [], [], []
+    for i in range(n_views, n_views + n_test):
+        img = np.asarray(rj(params, cams[i]))
+        te_l.append(psnr(img, gts[i]))
+        te_s.append(float(ssim_fn(jnp.asarray(img), jnp.asarray(gts[i]))))
+        te_g.append(float(gmsd(img, gts[i])))
+    te = float(np.mean(te_l))
+    ssim_m = float(np.mean(te_s))
+    bars = {"train": 32.0, "held_out": 29.0, "ssim_held_out": 0.93}
+    ok = te >= bars["held_out"] and tr >= bars["train"] and ssim_m >= bars["ssim_held_out"]
+    verdict = "PASS" if ok else "BELOW-BAR"
+    print(
+        f"[volumetric] train PSNR {tr:.2f} held-out {te:.2f} "
+        f"SSIM {ssim_m:.4f} GMSD {np.mean(te_g):.4f} -> {verdict}",
+        flush=True,
+    )
+    if args.out:
+        artifact = {
+            "task": "recover_vol",
+            "backend": jax.devices()[0].platform,
+            "config": production_switches(cfg),
+            "workload": {
+                "H": H, "W": W, "n_gaussians": n, "iterations": iters,
+                "views": n_views, "held_out_views": n_test,
+                "rasterizer": "volumetric (3DGS EWA, SURVEY 2.5)",
+            },
+            "train_view_psnr": round(tr, 3),
+            "held_out_psnr": round(te, 3),
+            "held_out_per_view": [round(x, 3) for x in te_l],
+            "held_out_ssim": round(ssim_m, 4),
+            "held_out_gmsd": round(float(np.mean(te_g)), 4),
+            "bars": bars,
+            "verdict": verdict,
+            "wall_seconds": round(time.time() - t0, 1),
+            "note": "First TRAINED certification of the volumetric "
+            "rasterizer path (r4 weak #3): GT rendered by the same path, "
+            "all parameters jittered, plain Adam recovery.",
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {args.out}", flush=True)
+    return verdict
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", choices=["recover", "scratch"], default="scratch")
+    ap.add_argument(
+        "--task", choices=["recover", "scratch", "recover_vol"],
+        default="scratch",
+    )
     ap.add_argument("--out", default=os.environ.get("VALID_OUT", ""))
     ap.add_argument("--iterations", type=int, default=0, help="override")
     ap.add_argument(
@@ -266,6 +441,9 @@ def main():
     import tpu_splat
 
     tpu_splat.setup_compilation_cache()
+    if args.task == "recover_vol":
+        run_recover_vol(args)
+        return
     import jax
     import jax.numpy as jnp
     from tpu_splat.config import OptimizationParams
@@ -368,7 +546,8 @@ def main():
             active_sh_degree=jnp.asarray(3, np.int32),
             max_sh_degree=3,
         )
-        bars = {"train": 35.0, "held_out": 30.0}
+        # round-5: SSIM joins the certification (round-4 ask); PSNR bars kept
+        bars = {"train": 35.0, "held_out": 30.0, "ssim_held_out": 0.95}
     else:
         # ---- from-scratch: noisy surface point cloud, full schedule ----
         opt.iterations = args.iterations or (40 if SMOKE else 10_000)
@@ -399,7 +578,9 @@ def main():
             max_sh_degree=3,
             init_refl_value=opt.refl_init_value,
         )
-        bars = {"held_out": 28.0}
+        # round-5: held-out bar raised 28 -> 30 (r4 beat 28 by 4 dB — no
+        # longer informative) and SSIM added
+        bars = {"held_out": 30.0, "ssim_held_out": 0.90}
 
     ts = TrainState.create(state, opt)
     step_fn = jax.jit(make_train_step(opt, cfg, spatial_lr_scale=4.2))
@@ -421,12 +602,22 @@ def main():
         save_ply(ts.gaussians, args.save_state)
         print(f"saved end state to {args.save_state}", flush=True)
 
-    tr, te_list = evaluate(
+    tr, te_list, te_ssim, te_gmsd = evaluate(
         jax, jnp, render, cfg, bg, ts.gaussians, cams, gts, n_views, n_test
     )
     te = float(np.mean(te_list))
-    print(f"train-view PSNR {tr:.2f}  held-out PSNR {te:.2f}", flush=True)
-    ok = te >= bars["held_out"] and (tr >= bars.get("train", 0.0))
+    ssim_m = float(np.mean(te_ssim))
+    gmsd_m = float(np.mean(te_gmsd))
+    print(
+        f"train-view PSNR {tr:.2f}  held-out PSNR {te:.2f}  "
+        f"SSIM {ssim_m:.4f}  GMSD {gmsd_m:.4f}",
+        flush=True,
+    )
+    ok = (
+        te >= bars["held_out"]
+        and tr >= bars.get("train", 0.0)
+        and ssim_m >= bars.get("ssim_held_out", 0.0)
+    )
     verdict = "PASS" if ok else "BELOW-BAR"
     print(verdict, flush=True)
 
@@ -448,6 +639,10 @@ def main():
             "train_view_psnr": round(tr, 3),
             "held_out_psnr": round(te, 3),
             "held_out_per_view": [round(x, 3) for x in te_list],
+            "held_out_ssim": round(ssim_m, 4),
+            "held_out_ssim_per_view": [round(x, 4) for x in te_ssim],
+            "held_out_gmsd": round(gmsd_m, 4),
+            "held_out_gmsd_per_view": [round(x, 4) for x in te_gmsd],
             "bars": bars,
             "verdict": verdict,
             "events": {
