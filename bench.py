@@ -203,11 +203,14 @@ def main():
         probe_cfg = dataclasses.replace(cfg, max_instances=8_368_128)
 
         @jax.jit
-        def probe(xyz, scales, rot):
+        def probe(xyz, scales, rot, opa):
             p = preprocess(
                 xyz, scales, rot, cam.world_view, cam.full_proj,
                 cam.camera_center, H, W,
                 colors=jnp.zeros((xyz.shape[0], 3)),
+                # size the cap for the SAME rect the render will emit
+                # (opacity-aware when the production config says so)
+                opacity=opa if cfg.opacity_rect else None,
             )
             p = p._replace(
                 valid=p.valid & state.alive,
@@ -217,7 +220,12 @@ def main():
             )
             return bin_gaussians(p, H, W, probe_cfg, aligned=True).num_instances
 
-        n_inst = int(probe(state.xyz, state.get_scaling(), state.rotation))
+        n_inst = int(
+            probe(
+                state.xyz, state.get_scaling(), state.rotation,
+                state.get_opacity(),
+            )
+        )
         cap_i = min(((int(n_inst * 1.03) + 4095) // 4096) * 4096, 8_368_128)
         assert n_inst <= cap_i, (n_inst, cap_i)
         cfg = dataclasses.replace(cfg, max_instances=cap_i)

@@ -1137,20 +1137,20 @@ def _make_bwd_kernel(full_grads: bool, packed_feats: bool = False):
             d_tw2_mat = jnp.where(unstable, d_depth, 0.0) + d_lp
 
             # project the field gradients onto the pixel basis: ONE
-            # [3, L] x [9CI, L] MXU dot -> per-instance coefficient grads
+            # [3, L] x [7CI, L] MXU dot -> per-instance coefficient grads.
+            # The frozen-s rows need only their plain pixel sums — cheaper
+            # as VPU row reductions than as two more projection blocks.
             RHS = jnp.concatenate(
-                [d_p0m, d_p1m, d_p2m, d_dnm, d_s2, d_s3, d_tw2_mat,
-                 d_lpx, d_lpy],
-                axis=0,
-            )  # [9CI, L]
-            PJ = _dot_px(basis3, RHS)  # [3, 9CI]
+                [d_p0m, d_p1m, d_p2m, d_dnm, d_s2, d_s3, d_tw2_mat], axis=0
+            )  # [7CI, L]
+            PJ = _dot_px(basis3, RHS)  # [3, 7CI]
+            lp_x = jnp.sum(d_lpx, axis=1)[None, :]  # [1, CI]
+            lp_y = jnp.sum(d_lpy, axis=1)[None, :]
 
             def blk(j):
                 return PJ[:, j * CI : (j + 1) * CI]  # [3, CI] rows x, y, 1
 
-            pp0, pp1, pp2, pdn, ps2, ps3, ptw2, plpx, plpy = (
-                blk(j) for j in range(9)
-            )
+            pp0, pp1, pp2, pdn, ps2, ps3, ptw2 = (blk(j) for j in range(7))
             row = lambda M, r: M[r : r + 1, :]  # [1, CI]
 
             gr_ = gr
@@ -1195,10 +1195,9 @@ def _make_bwd_kernel(full_grads: bool, packed_feats: bool = False):
                 d_C2 + d_dc * Tw[2],
             )
             d_Tw_dn = (
-                # frozen-s low-pass depth grads land on Tw directly (their
-                # constant-basis projections; rows 0/1 of plp* are unused)
-                d_da * A[0] + d_db * Bv[0] + d_dc * C[0] + row(plpx, 2),
-                d_da * A[1] + d_db * Bv[1] + d_dc * C[1] + row(plpy, 2),
+                # frozen-s low-pass depth grads land on Tw directly
+                d_da * A[0] + d_db * Bv[0] + d_dc * C[0] + lp_x,
+                d_da * A[1] + d_db * Bv[1] + d_dc * C[1] + lp_y,
                 d_da * A[2] + d_db * Bv[2] + d_dc * C[2] + d_tw2,
             )
             # cross-product VJPs: A = Tv x Tw, B = Tw x Tu, C = Tu x Tv
