@@ -246,3 +246,32 @@ def test_bf16_feats_parity():
         assert np.abs(x - y).max() / scale < 3e-2, (
             nm, np.abs(x - y).max() / scale
         )
+
+
+def test_inference_collect_weights_off_image_exact():
+    """The collect_weights=False inference path (render_fast/eval_fps/
+    bench --forward_only) drops ONLY the wmax writeback ring + gw
+    reduction: every image-space output must be bit-identical to the
+    weighted path, and gaussian_weights must come back all-zero."""
+    act, cam = _scene(n=90, seed=4)
+    bg = jnp.array([0.15, 0.25, 0.35])
+    o_on = _run(act, cam, PAL, bg)
+
+    def run_off():
+        return rasterize(
+            act["means3d"], act["scales"], act["rotations"], act["opacity"],
+            act["refl"], cam, bg, PAL, sh=act["sh"], sh_degree=0,
+            collect_weights=False,
+        )
+
+    o_off = run_off()
+    np.testing.assert_array_equal(np.asarray(o_off.color), np.asarray(o_on.color))
+    np.testing.assert_array_equal(np.asarray(o_off.others), np.asarray(o_on.others))
+    np.testing.assert_array_equal(
+        np.asarray(o_off.refl_map), np.asarray(o_on.refl_map)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o_off.final_T), np.asarray(o_on.final_T)
+    )
+    assert float(np.abs(np.asarray(o_off.gaussian_weights)).max()) == 0.0
+    assert float(np.abs(np.asarray(o_on.gaussian_weights)).max()) > 0.0
