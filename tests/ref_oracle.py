@@ -25,6 +25,8 @@ semantics exactly. Scenes are kept tiny (<= 64 Gaussians, <= 64^2 px).
 """
 from __future__ import annotations
 
+import contextlib
+
 import numpy as np
 
 f32 = np.float32
@@ -38,9 +40,6 @@ def set_dtype(dt):
     formula parity can be asserted to ~1e-9 instead of flip-polluted 1e-1."""
     global f32
     f32 = dt
-
-
-import contextlib
 
 
 @contextlib.contextmanager

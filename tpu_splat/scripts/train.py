@@ -459,10 +459,10 @@ def main(argv=None):
         help="per-column 3-sigma-conic tile binning (PARITY.md D2): fewer "
         "instances on anisotropic scenes at higher binning cost",
     )
-    import argparse as _argparse
+    from argparse import BooleanOptionalAction
 
     parser.add_argument(
-        "--opacity_rect", action=_argparse.BooleanOptionalAction,
+        "--opacity_rect", action=BooleanOptionalAction,
         default=True,
         help="opacity-aware tile rect: stop emitting (gaussian, tile) "
         "overlaps that can only contribute alpha < 1/255 (accept-mask-"
