@@ -94,11 +94,11 @@ O_NCON = 12
 O_M1 = 13
 O_M2 = 14
 O_MEDRANK = 15  # median contributor rank (1-based, 0 = none)
-S_DONE = 16  # scratch-only row: termination flag
 
 CI = 128  # instances per chunk; lane-tile (128) aligned DMA slabs
 L = TILE_PIX
 WSLOT = 4  # wmax / grad writeback ring depth
+NFSLOT = 4  # feature-stream ring depth (2 chunks in flight)
 
 _HP = jax.lax.Precision.HIGHEST
 # Mosaic lowers only DEFAULT and HIGHEST dot precision (pallas/mosaic/lowering.py
@@ -148,13 +148,29 @@ def _dot_mm_exact01(a01, b):
     Every product is exact (x * {0,1}) and accumulation is f32, so the
     result carries full f32 fidelity in 3 MXU passes — vs HIGHEST's 6
     (bf16x6) for the same accuracy. This is the hot-scan formulation: the
-    triangular prefix/suffix sums and the ones-row chunk sums all have an
-    exact-01 left operand."""
+    triangular prefix/suffix sums all have an exact-01 left operand."""
     a16 = a01.astype(jnp.bfloat16)
     out = None
     for part in _split3(b):
         d = jax.lax.dot_general(
             a16, part, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = d if out is None else out + d
+    return out
+
+
+def _dot_px_exact_lhs(rows_exact, mat):
+    """[k, L] x [M, L] -> [k, M] (contract pixels) where rows_exact is
+    EXACTLY bf16-representable (the recentered pixel basis: small ints and
+    1.0): 3-way split of mat gives exact products + f32 accumulation in 3
+    bf16 MXU passes — same fidelity as precision=HIGHEST at half the
+    passes."""
+    r16 = rows_exact.astype(jnp.bfloat16)
+    out = None
+    for part in _split3(mat):
+        d = jax.lax.dot_general(
+            r16, part, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         out = d if out is None else out + d
@@ -358,9 +374,8 @@ def _tile_blend_kernel(
     out_px_ref,  # block (1, 16, L) VMEM
     wmax_ref,  # [8, N_cap] ANY/HBM (row 0 = wmax; aliased, zero elsewhere)
     # scratch
-    state,  # VMEM (24, L); rows 0..15 are the output block, 16+ internal
     hbuf,  # VMEM (2, F_PAD, CI): per-tile head chunk, filled by tile t-1
-    fbuf,  # VMEM (2, F_PAD, CI): streaming chunks >= 1
+    fbuf,  # VMEM (NFSLOT, F_PAD, CI): streaming chunks >= 1
     wbuf,  # VMEM (WSLOT, 8, CI)
     wcnt,  # SMEM (1,) i32: global wmax writeback counter
     h_sem,
@@ -413,21 +428,26 @@ def _tile_blend_kernel(
     basis3, r2, cxf, cyf = _basis(orgx_ref[t], orgy_ref[t])
     ltri = _ltri_strict()
 
-    state[:] = jnp.zeros((24, L), jnp.float32)
-    state[O_T, :] = jnp.ones((L,), jnp.float32)
-
     n_chunks = pl.cdiv(count, CI)
     row_i = jax.lax.broadcasted_iota(jnp.int32, (CI, 1), 0)
 
     def feat_dma(ci):
         base = pl.multiple_of(start + ci * CI, CI)
         return pltpu.make_async_copy(
-            feats_ref.at[:, pl.ds(base, CI)], fbuf.at[ci % 2], f_sem.at[ci % 2]
+            feats_ref.at[:, pl.ds(base, CI)], fbuf.at[ci % NFSLOT],
+            f_sem.at[ci % NFSLOT],
         )
 
+    # two stream chunks in flight (ring depth 4): chunk compute ~2.5 us is
+    # barely above the DMA issue-to-complete latency, so one-deep
+    # prefetching exposes part of it on the common short tiles
     @pl.when(n_chunks > 1)
     def _prefetch_second():
         feat_dma(1).start()
+
+    @pl.when(n_chunks > 2)
+    def _prefetch_third():
+        feat_dma(2).start()
 
     def store_wmax(base, wmax_ci):
         # Mosaic requires full-tile (8,128) slab stores into tiled HBM refs,
@@ -451,7 +471,14 @@ def _tile_blend_kernel(
         wcnt[0] = k + 1
 
     def chunk_body(carry):
-        ci, _ = carry
+        # accumulators ride the while-loop CARRY (register-resident, ~4
+        # vregs) instead of VMEM scratch rows: the former per-row scratch
+        # read-modify-writes serialized against the elementwise stream
+        if train_shape:
+            ci, _ad, T_c, done_f, dep, con, ncon = carry
+        else:
+            (ci, _ad, T_c, done_f, dep, con, ncon,
+             m1, m2, dist, med, medrank) = carry
         base = pl.multiple_of(start + ci * CI, CI)
 
         # chunk 0 arrives in the head slab (DMA'd by the previous tile);
@@ -467,11 +494,11 @@ def _tile_blend_kernel(
         def _wait_stream():
             feat_dma(ci).wait()
 
-        fb = jnp.where(ci == 0, hbuf[t % 2], fbuf[ci % 2])
+        fb = jnp.where(ci == 0, hbuf[t % 2], fbuf[ci % NFSLOT])
 
-        @pl.when((ci + 1 < n_chunks) & (ci > 0))
+        @pl.when((ci + 2 < n_chunks) & (ci > 0))
         def _prefetch_next():
-            feat_dma(ci + 1).start()
+            feat_dma(ci + 2).start()
 
         gr = _geom_rows(fb, cxf, cyf)
         g = _alpha_depth(fb, gr, basis3, r2)
@@ -479,7 +506,7 @@ def _tile_blend_kernel(
 
         idx = base + row_i
         valid = idx < start + count
-        done = state[S_DONE, :].reshape(1, L) > 0.5
+        done = done_f > 0.5  # [1, L]
         accept = (depth >= NEAR_N) & (alpha >= ALPHA_MIN) & valid & ~done
         a_eff = jnp.where(accept, alpha, 0.0)
 
@@ -489,7 +516,7 @@ def _tile_blend_kernel(
         # passes vs HIGHEST's 6.
         u = jnp.log1p(-a_eff)
         prefix = jnp.exp(_dot_mm_exact01(ltri, u))
-        T_carry = state[O_T, :].reshape(1, L)
+        T_carry = T_c  # [1, L]
         T_before = T_carry * prefix
         one_m = 1.0 - a_eff
         T_after = T_before * one_m
@@ -506,38 +533,30 @@ def _tile_blend_kernel(
             m2w = m * mw
             pre = _excl_cumsum(jnp.concatenate([mw, m2w], axis=1), ltri)  # [CI, 2L]
             A_ = 1.0 - T_before
-            M1c = state[O_M1, :].reshape(1, L) + pre[:, :L]
-            M2c = state[O_M2, :].reshape(1, L) + pre[:, L:]
+            M1c = m1 + pre[:, :L]
+            M2c = m2 + pre[:, L:]
             dterm = (m * m * A_ + M2c - 2.0 * m * M1c) * w
-            cols = [u, u_con, w * depth, mw, m2w, dterm]
-        else:
-            cols = [u, u_con, w * depth]
 
-        # all full chunk-axis sums in ONE ones-row matmul (exact-01 split:
-        # the u columns feed exp(T) and need f32 fidelity — see scan note)
-        sums = _dot_mm_exact01(
-            jnp.ones((1, CI), jnp.float32), jnp.concatenate(cols, axis=1)
-        )  # [1, len(cols)*L]
-        T_all = T_carry * jnp.exp(sums[:, 0:L])
-        T_new = T_carry * jnp.exp(sums[:, L : 2 * L])
+        # full chunk-axis sums as VPU sublane-tree reductions: an [1, CI]
+        # ones-row MXU matmul is the M=1 worst case (the systolic pass
+        # costs ~K*N/128 cycles regardless of M, and the exact-01 f32
+        # fidelity needs 3 of them) while the f32 tree sum is exact AND a
+        # handful of vector adds
+        vsum = lambda x: jnp.sum(x, axis=0, keepdims=True)
+        T_all = T_carry * jnp.exp(vsum(u))
+        T_new = T_carry * jnp.exp(vsum(u_con))
         done_new = done | (T_all < T_EPS)
 
-        state[O_DEPTH, :] += sums[0, 2 * L : 3 * L]
+        dep = dep + vsum(w * depth)
         if not train_shape:
-            state[O_M1, :] += sums[0, 3 * L : 4 * L]
-            state[O_M2, :] += sums[0, 4 * L : 5 * L]
-            state[O_DIST, :] += sums[0, 5 * L : 6 * L]
+            m1 = m1 + vsum(mw)
+            m2 = m2 + vsum(m2w)
+            dist = dist + vsum(dterm)
 
         # content accumulation: ONE [8, CI] @ [CI, L] matmul
-        cw = _dot_mm(_content_rows(fb, packed_feats), w, precision=_HI)  # [8, L]
-        state[O_COL, :] += cw[0]
-        state[O_COL + 1, :] += cw[1]
-        state[O_COL + 2, :] += cw[2]
-        state[O_NRM, :] += cw[3]
-        state[O_NRM + 1, :] += cw[4]
-        state[O_NRM + 2, :] += cw[5]
-        state[O_REFL, :] += cw[6]
-        state[O_SCOPE, :] += cw[7]  # thresholded > 0 after the sweep
+        con = con + _dot_mm(
+            _content_rows(fb, packed_feats), w, precision=_HI
+        )  # [8, L]
 
         rank = (idx - start + 1).astype(jnp.float32)  # 1-based
         if not train_shape:
@@ -550,41 +569,59 @@ def _tile_blend_kernel(
             med_depth_new = jnp.sum(
                 jnp.where(sel, depth, 0.0), axis=0, keepdims=True
             )
-            state[O_MED, :] = jnp.where(
-                has_med, med_depth_new, state[O_MED, :].reshape(1, L)
-            ).reshape(L)
-            state[O_MEDRANK, :] = jnp.where(
-                has_med, med_rank, state[O_MEDRANK, :].reshape(1, L)
-            ).reshape(L)
-        state[O_NCON, :] = jnp.maximum(
-            state[O_NCON, :], jnp.max(jnp.where(contrib, rank, 0.0), axis=0)
+            med = jnp.where(has_med, med_depth_new, med)
+            medrank = jnp.where(has_med, med_rank, medrank)
+        ncon = jnp.maximum(
+            ncon, jnp.max(jnp.where(contrib, rank, 0.0), axis=0, keepdims=True)
         )
 
-        state[O_T, :] = T_new.reshape(L)
-        state[S_DONE, :] = done_new.astype(jnp.float32).reshape(L)
+        T_c = T_new
+        done_f = done_new.astype(jnp.float32)
 
         if collect_wmax:
             store_wmax(base, jnp.max(jnp.where(valid, w, 0.0), axis=1))
 
-        all_done = jnp.min(done_new.astype(jnp.float32)) > 0.5
-        return ci + 1, all_done
+        all_done = jnp.min(done_f) > 0.5
+        if train_shape:
+            return ci + 1, all_done, T_c, done_f, dep, con, ncon
+        return (ci + 1, all_done, T_c, done_f, dep, con, ncon,
+                m1, m2, dist, med, medrank)
 
     def cond(carry):
-        ci, all_done = carry
-        return (ci < n_chunks) & ~all_done
+        return (carry[0] < n_chunks) & ~carry[1]
 
-    ci_f, _done_f = jax.lax.while_loop(
-        cond, chunk_body, (jnp.int32(0), jnp.bool_(False))
+    zrow = jnp.zeros((1, L), jnp.float32)
+    init = (
+        jnp.int32(0), jnp.bool_(False),
+        jnp.ones((1, L), jnp.float32),  # T
+        zrow,  # done
+        zrow,  # depth
+        jnp.zeros((8, L), jnp.float32),  # content
+        zrow,  # n_contrib
     )
+    if not train_shape:
+        init = init + (zrow, zrow, zrow, zrow, zrow)  # m1 m2 dist med medrank
+    final = jax.lax.while_loop(cond, chunk_body, init)
+    ci_f = final[0]
+    _, _, T_c, _done_f, dep, con, ncon = final[:7]
+    if train_shape:
+        m1 = m2 = dist = med = medrank = zrow
+    else:
+        m1, m2, dist, med, medrank = final[7:12]
     # (skipped chunks need no zero-fill: wmax is aliased to a zeros input)
 
     # retire outstanding feature copies so later programs' semaphores are
-    # clean: early exit can leave the ci_f stream prefetch in flight; an
-    # unconsumed head (count > 0 but exit before chunk 0 never happens —
-    # chunk 0 always runs when count > 0, waiting the head there)
+    # clean: early exit can leave up to two stream prefetches in flight
+    # (chunks ci_f and ci_f+1); an unconsumed head (count > 0 but exit
+    # before chunk 0) never happens — chunk 0 always runs when count > 0,
+    # waiting the head there
     @pl.when((ci_f >= 1) & (ci_f < n_chunks))
     def _drain_feat():
         feat_dma(ci_f).wait()
+
+    @pl.when((ci_f >= 1) & (ci_f + 1 < n_chunks))
+    def _drain_feat2():
+        feat_dma(ci_f + 1).wait()
 
     # final grid step: drain the last <= WSLOT wmax writebacks
     if collect_wmax:
@@ -606,9 +643,26 @@ def _tile_blend_kernel(
             jax.lax.fori_loop(0, WSLOT, body, None)
 
     # scope mask: 1 iff any contributing in-scope instance (w > 0 for every
-    # contributor, so the weighted sum is positive exactly then)
-    state[O_SCOPE, :] = (state[O_SCOPE, :] > 0.0).astype(jnp.float32)
-    out_px_ref[0, :, :] = state[0:16, :]
+    # contributor, so the weighted sum is positive exactly then); output
+    # rows assembled once from the register carries (order = O_* layout)
+    scope_row = (con[7:8] > 0.0).astype(jnp.float32)
+    out_px_ref[0, :, :] = jnp.concatenate(
+        [
+            con[0:3],  # O_COL
+            T_c,  # O_T
+            dep,  # O_DEPTH
+            con[6:7],  # O_REFL
+            dist,  # O_DIST
+            con[3:6],  # O_NRM
+            med,  # O_MED
+            scope_row,  # O_SCOPE
+            ncon,  # O_NCON
+            m1,  # O_M1
+            m2,  # O_M2
+            medrank,  # O_MEDRANK
+        ],
+        axis=0,
+    )
 
 
 def tile_blend_forward(
@@ -643,13 +697,12 @@ def tile_blend_forward(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((24, L), jnp.float32),
             pltpu.VMEM((2, f_in, CI), jnp.float32),
-            pltpu.VMEM((2, f_in, CI), jnp.float32),
+            pltpu.VMEM((NFSLOT, f_in, CI), jnp.float32),
             pltpu.VMEM((WSLOT, 8, CI), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((NFSLOT,)),
             pltpu.SemaphoreType.DMA((WSLOT,)),
         ],
     )
@@ -926,9 +979,8 @@ def _make_bwd_kernel(full_grads: bool, packed_feats: bool = False):
         ct_px_ref,  # block (1, 16, L): cotangents of forward outputs
         dfeats_init_ref,  # [F_PAD, N_cap] ANY zeros (aliased to output)
         dfeats_ref,  # [F_PAD, N_cap] ANY output (aliased)
-        state,  # VMEM (8, L) reverse carries
         hbuf,  # VMEM (2, F_PAD, CI): per-tile head (last used chunk)
-        fbuf,  # VMEM (2, F_PAD, CI)
+        fbuf,  # VMEM (NFSLOT, F_PAD, CI)
         gbuf,  # VMEM (WSLOT, F_PAD, CI) grad slab ring
         gcnt,  # SMEM (1,) i32
         h_sem,
@@ -998,26 +1050,32 @@ def _make_bwd_kernel(full_grads: bool, packed_feats: bool = False):
             ct_m1 = ct(O_M1)
             ct_m2 = ct(O_M2)
 
-        # reverse carries rows: 0 T_rev, 1 B, [full: 2 Wsuf, 3 MWsuf, 4 M2Wsuf]
-        state[:] = jnp.zeros((8, L), jnp.float32)
-        state[0, :] = T_final.reshape(L)
-        state[1, :] = (ct_T * T_final).reshape(L)
-
+        # reverse carries (T_rev, B, [full: Wsuf, MWsuf, M2Wsuf]) ride the
+        # fori_loop carry in registers (see the forward's carry note)
         row_i = jax.lax.broadcasted_iota(jnp.int32, (CI, 1), 0)
 
         def feat_dma(ci_rev):
             ci = used_chunks - 1 - ci_rev
             base = pl.multiple_of(start + ci * CI, CI)
             return pltpu.make_async_copy(
-                feats_ref.at[:, pl.ds(base, CI)], fbuf.at[ci_rev % 2],
-                f_sem.at[ci_rev % 2],
+                feats_ref.at[:, pl.ds(base, CI)], fbuf.at[ci_rev % NFSLOT],
+                f_sem.at[ci_rev % NFSLOT],
             )
 
+        # two stream chunks in flight (see the forward's ring note)
         @pl.when(used_chunks > 1)
         def _prefetch_second():
             feat_dma(1).start()
 
-        def chunk_body(ci_rev, _):
+        @pl.when(used_chunks > 2)
+        def _prefetch_third():
+            feat_dma(2).start()
+
+        def chunk_body(ci_rev, carry):
+            if full_grads:
+                T_rev, Bc, Wsuf, MWsuf, M2Wsuf = carry
+            else:
+                T_rev, Bc = carry
             ci = used_chunks - 1 - ci_rev
             base = pl.multiple_of(start + ci * CI, CI)
 
@@ -1032,11 +1090,11 @@ def _make_bwd_kernel(full_grads: bool, packed_feats: bool = False):
             def _wait_stream():
                 feat_dma(ci_rev).wait()
 
-            fb = jnp.where(ci_rev == 0, hbuf[t % 2], fbuf[ci_rev % 2])
+            fb = jnp.where(ci_rev == 0, hbuf[t % 2], fbuf[ci_rev % NFSLOT])
 
-            @pl.when((ci_rev + 1 < used_chunks) & (ci_rev > 0))
+            @pl.when((ci_rev + 2 < used_chunks) & (ci_rev > 0))
             def _prefetch_next():
-                feat_dma(ci_rev + 1).start()
+                feat_dma(ci_rev + 2).start()
 
             gr = _geom_rows(fb, cxf, cyf)
             g = _alpha_depth(fb, gr, basis3, r2)
@@ -1055,7 +1113,6 @@ def _make_bwd_kernel(full_grads: bool, packed_feats: bool = False):
             # reconstruct T_i (transmittance before instance i)
             lf = jnp.where(contrib, -jnp.log1p(-alpha), 0.0)
             suf_lf = _dot_mm_exact01(utri, lf)
-            T_rev = state[0, :].reshape(1, L)
             T_i = T_rev * jnp.exp(suf_lf)
             w = jnp.where(contrib, alpha * T_i, 0.0)
 
@@ -1070,9 +1127,6 @@ def _make_bwd_kernel(full_grads: bool, packed_feats: bool = False):
                 m, safe_depth = _m_of_depth(depth)
                 mw = m * w
                 m2w = m * mw
-                Wsuf = state[2, :].reshape(1, L)
-                MWsuf = state[3, :].reshape(1, L)
-                M2Wsuf = state[4, :].reshape(1, L)
                 suf = _suffix_incl(
                     jnp.concatenate([w, mw, m2w], axis=1), utri
                 )  # [CI, 3L]
@@ -1106,7 +1160,7 @@ def _make_bwd_kernel(full_grads: bool, packed_feats: bool = False):
                 bterm = what * w
 
             # alpha gradient
-            B_i = state[1, :].reshape(1, L) + (_suffix_incl(bterm, utri) - bterm)
+            B_i = Bc + (_suffix_incl(bterm, utri) - bterm)
             d_alpha = jnp.where(
                 contrib, T_i * what - B_i / (1.0 - alpha), 0.0
             )
@@ -1143,7 +1197,7 @@ def _make_bwd_kernel(full_grads: bool, packed_feats: bool = False):
             RHS = jnp.concatenate(
                 [d_p0m, d_p1m, d_p2m, d_dnm, d_s2, d_s3, d_tw2_mat], axis=0
             )  # [7CI, L]
-            PJ = _dot_px(basis3, RHS)  # [3, 7CI]
+            PJ = _dot_px_exact_lhs(basis3, RHS)  # [3, 7CI]
             lp_x = jnp.sum(d_lpx, axis=1)[None, :]  # [1, CI]
             lp_y = jnp.sum(d_lpy, axis=1)[None, :]
 
@@ -1247,22 +1301,24 @@ def _make_bwd_kernel(full_grads: bool, packed_feats: bool = False):
             grad_copy(slot, base).start()
             gcnt[0] = k + 1
 
-            # update reverse carries for the next (earlier) chunk
-            csum = _dot_mm_exact01(
-                jnp.ones((1, CI), jnp.float32),
-                jnp.concatenate([lf, bterm], axis=1),
-            )  # [1, 2L]  (lf feeds exp(T_rev) — exact-01 split, see scan note)
-            state[0, :] = (T_rev * jnp.exp(csum[:, 0:L])).reshape(L)
-            state[1, :] = (
-                state[1, :].reshape(1, L) + csum[:, L : 2 * L]
-            ).reshape(L)
+            # update reverse carries for the next (earlier) chunk (VPU
+            # tree sums — see the forward's M=1-matmul note; exact f32)
+            T_rev = T_rev * jnp.exp(jnp.sum(lf, axis=0, keepdims=True))
+            Bc = Bc + jnp.sum(bterm, axis=0, keepdims=True)
             if full_grads:
-                state[2, :] = (Wsuf + jnp.sum(w, axis=0, keepdims=True)).reshape(L)
-                state[3, :] = (MWsuf + jnp.sum(mw, axis=0, keepdims=True)).reshape(L)
-                state[4, :] = (M2Wsuf + jnp.sum(m2w, axis=0, keepdims=True)).reshape(L)
-            return _
+                return (
+                    T_rev, Bc,
+                    Wsuf + jnp.sum(w, axis=0, keepdims=True),
+                    MWsuf + jnp.sum(mw, axis=0, keepdims=True),
+                    M2Wsuf + jnp.sum(m2w, axis=0, keepdims=True),
+                )
+            return T_rev, Bc
 
-        jax.lax.fori_loop(0, used_chunks, chunk_body, None)
+        zrow = jnp.zeros((1, L), jnp.float32)
+        init = (T_final, ct_T * T_final)
+        if full_grads:
+            init = init + (zrow, zrow, zrow)
+        jax.lax.fori_loop(0, used_chunks, chunk_body, init)
         # (non-contributing chunks need no zero-fill: d_feats is zero-aliased)
 
         # final grid step: drain the last <= WSLOT grad writebacks
@@ -1326,13 +1382,12 @@ def tile_blend_backward(
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((8, L), jnp.float32),
             pltpu.VMEM((2, f_io, CI), jnp.float32),
-            pltpu.VMEM((2, f_io, CI), jnp.float32),
+            pltpu.VMEM((NFSLOT, f_io, CI), jnp.float32),
             pltpu.VMEM((WSLOT, f_io, CI), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((NFSLOT,)),
             pltpu.SemaphoreType.DMA((WSLOT,)),
         ],
     )
