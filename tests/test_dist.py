@@ -219,6 +219,37 @@ def test_multihost_init_multiprocess_args(monkeypatch):
     assert (idx, cnt) == (0, 1)
 
 
+def test_dp_grad_allreduces_are_per_leaf():
+    """Comm-backend overlap structure (SURVEY §2.16): the DP step issues
+    one all_reduce PER gradient leaf inside the shard_map'd device
+    function — not a single monolithic end-of-backward collective — so (a)
+    the backend scheduler is free to overlap each leaf's psum with compute
+    that does not depend on it, and (b) XLA's all-reduce combiner can
+    re-bucket them by byte threshold for the ICI/DCN topology at hand.
+    Asserted on the StableHLO lowering (the CPU backend's optimized HLO
+    erases collectives into its thread runtime, so the post-optimization
+    text is not portable evidence). Matches the reference's NCCL gradient
+    path being per-tensor (torch DDP-style bucketing)."""
+    from tpu_splat.train.step import make_train_step_dp
+
+    state, _ = _setup()
+    mesh = make_mesh(8, axis="dp")
+    opt_cfg = OptimizationParams(init_until_iter=0)
+    ts = TrainState.create(state, opt_cfg)
+    cams = [
+        orbit_camera(H, W, radius=4.0, azimuth=0.1 * i, elevation=0.2)
+        for i in range(8)
+    ]
+    cam_b = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    gts = jnp.stack([jnp.full((H, W, 3), 0.3)] * 8)
+    dp_step = make_train_step_dp(opt_cfg, CFG, spatial_lr_scale=1.0, mesh=mesh)
+    txt = jax.jit(dp_step).lower(ts, cam_b, gts, jnp.zeros(3)).as_text()
+    n_leaves = len(state.param_pytree())
+    n_ar = txt.count("stablehlo.all_reduce")
+    # >= one per gradient leaf + the 5 loss scalars + densify-stat psums
+    assert n_ar >= n_leaves + 5, (n_ar, n_leaves)
+
+
 def test_host_camera_partition():
     """Per-host camera partition (2-host DP data path, BASELINE.json
     config 5): disjoint, exhaustive, balanced within 1, and the per-epoch
