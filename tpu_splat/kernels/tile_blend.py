@@ -22,8 +22,10 @@ Speed-of-light replacement for the XLA scan in tpu_splat.raster.blend
   the accepted subsequence, so `contrib = accept & (T_after >= T_EPS)`
   reproduces the CUDA done/skip semantics (forward.cu:408-416) exactly.
 - Per-pixel weighted accumulation of color/normal/refl/scope is ONE
-  [8, CI] @ [CI, L] matmul per chunk; full sums over the chunk axis ride a
-  single [1, CI] ones-row matmul over lane-concatenated operands.
+  [8, CI] @ [CI, L] matmul per chunk; full sums over the chunk axis are
+  exact f32 VPU sublane-tree reductions (an M=1 ones-row matmul is the
+  systolic array's worst case — a pass costs ~K*N/128 cycles regardless
+  of M); per-pixel accumulators ride the chunk loop's register carry.
 - Cross-tile software pipelining: tile t's first feature chunk is DMA'd by
   tile t-1 (double-buffered head slabs), so the per-tile DMA latency of
   short ranges (1-2 chunks is the common case in trained scenes) is hidden
